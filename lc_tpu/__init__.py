@@ -1,0 +1,21 @@
+"""lc_tpu — a TPU-native JAX/Flax/Pallas framework for linear-covariance 6D pose estimation.
+
+Re-designed from scratch for TPU (reference: fulliu/lc, PyTorch+Ceres). The compute path is
+pure JAX (jit/vmap/shard_map) with Pallas kernels for the hot ops; the runtime around it
+(data decode, caching, native host ops) lives in `lc_tpu.data` and `native/`.
+
+Layers (bottom-up):
+  geom     — rotations, pinhole projection, affine-crop math, symmetry handling
+  codec    — ZebraPose-style Gray-code NOC codec ("floatbits")
+  pnp      — batched differentiable PnP: analytic jacobians, LM solver (Ceres replacement),
+             RANSAC initializer (cv2.solvePnPRansac replacement), covariance machinery
+  loss     — the Linear-Covariance loss and surrogate losses
+  models   — Flax CDPN-ResNet34 and Zebra-DeepLabV3 dense-correspondence networks
+  data     — BOP dataset loading, device-side crop/augment pipeline
+  optim    — Ranger optimizer (optax), flat-and-anneal schedule
+  parallel — mesh/pjit/shard_map data-parallel training step
+  eval     — ADD(-S) / AUC evaluation, BOP CSV export
+  utils    — config system, checkpointing, logging
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,166 @@
+"""Batched trust-region Levenberg-Marquardt PnP refiner — the Ceres replacement.
+
+Replaces the reference's host-side Ceres solve (reference lib/pnp/cxx/ceres.cpp:72-177,
+cffi-marshalled one problem per OpenMP thread) with a single batched, jit-compiled
+solver that runs where the data already lives. The whole batch advances in lockstep
+under one `lax.while_loop`; converged problems are masked out ("done") so semantics
+match per-problem adaptive stopping while shapes stay static.
+
+Matches Ceres's LM strategy:
+  * step: (H + 1/radius · DᵀD) δ = −g with D = √diag(H) clamped to
+    [min_lm_diagonal, max_lm_diagonal] (Ceres defaults 1e-6 / 1e32);
+  * step quality ρ = (cost − new_cost) / (model cost decrease); accept when
+    ρ > min_relative_decrease (1e-3);
+  * on accept: radius /= max(1/3, 1 − (2ρ−1)³), decrease factor resets to 2;
+    on reject: radius /= decrease_factor, decrease_factor doubles;
+  * convergence: |Δcost| ≤ function_tolerance · cost on an accepted step
+    (ceres.cpp:127 passes function_tolerance; default max 50 iterations);
+  * problems with < 3 valid points are skipped and flagged invalid (ceres.cpp:84-91);
+  * invalid solves keep the initial state (reference lib/pnp/cer_solver.py:52).
+
+The parameterization differs deliberately: Ceres optimizes a global axis-angle chart;
+we take right-perturbation steps in the local tangent frame (better conditioned, no
+gimbal issues near π) and fold them into the quaternion each accepted step. The
+optimum is identical; parity is at the solution level.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geom.pose import apply_perturb
+from .residual import residual_with_jac6d
+
+
+class LMResult(NamedTuple):
+    pose7: jax.Array      # (B, 7) refined (or initial if invalid)
+    invalid: jax.Array    # (B,) bool
+    cost: jax.Array       # (B,) final 0.5·Σ w r²
+    n_iter: jax.Array     # (B,) iterations consumed
+    radius: jax.Array     # (B,) final trust-region radius
+
+
+def _weighted_cost(pose7, cam_K, pts3d, pts2d, w2):
+    r, _ = residual_with_jac6d(pose7, cam_K, pts3d, pts2d)
+    return 0.5 * jnp.sum(w2 * r * r, axis=(-1, -2))
+
+
+def lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
+              pts2d: jax.Array, weights: jax.Array,
+              valid: jax.Array | None = None, *,
+              max_iter: int = 50, function_tolerance: float = 1e-6,
+              initial_radius: float = 1e4, min_relative_decrease: float = 1e-3,
+              min_lm_diagonal: float = 1e-6, max_lm_diagonal: float = 1e32,
+              ) -> LMResult:
+    """Refine a batch of weighted PnP problems.
+
+    pose7_init: (B, 7); cam_K: (B, 3, 3); pts3d: (B, N, 3); pts2d: (B, N, 2);
+    weights: per-coordinate inverse variances, (B, N, 2) or (B, N); valid: (B, N) bool
+    mask for padded points. All f32; linalg in f32 with SPD guards.
+    """
+    if weights.ndim == pts2d.ndim - 1:
+        weights = weights[..., None]
+    w2 = jnp.broadcast_to(weights, pts2d.shape).astype(jnp.float32)
+    if valid is not None:
+        w2 = w2 * valid[..., None].astype(w2.dtype)
+        n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)
+    else:
+        n_valid = jnp.full(pts2d.shape[:-2], pts2d.shape[-2], dtype=jnp.int32)
+
+    too_few = n_valid < 3
+    B = pose7_init.shape[0]
+    eye6 = jnp.eye(6, dtype=jnp.float32)
+
+    def gauss_newton_terms(pose):
+        r, J = residual_with_jac6d(pose, cam_K, pts3d, pts2d)
+        wr = w2 * r                                           # (B, N, 2)
+        g = jnp.einsum('bnck,bnc->bk', J, wr)                 # (B, 6)
+        H = jnp.einsum('bnci,bncj,bnc->bij', J, J, w2)        # (B, 6, 6)
+        cost = 0.5 * jnp.sum(wr * r, axis=(-1, -2))
+        return cost, g, H
+
+    class Carry(NamedTuple):
+        pose: jax.Array
+        cost: jax.Array
+        radius: jax.Array
+        decrease_factor: jax.Array
+        done: jax.Array
+        failed: jax.Array
+        it: jax.Array
+        n_iter: jax.Array
+
+    cost0, _, _ = gauss_newton_terms(pose7_init)
+    init = Carry(
+        pose=pose7_init.astype(jnp.float32),
+        cost=cost0,
+        radius=jnp.full((B,), initial_radius, jnp.float32),
+        decrease_factor=jnp.full((B,), 2.0, jnp.float32),
+        done=too_few,
+        failed=too_few,
+        it=jnp.zeros((), jnp.int32),
+        n_iter=jnp.zeros((B,), jnp.int32),
+    )
+
+    def cond(c: Carry):
+        return jnp.logical_and(c.it < max_iter, jnp.logical_not(jnp.all(c.done)))
+
+    def body(c: Carry) -> Carry:
+        cost, g, H = gauss_newton_terms(c.pose)
+        diag = jnp.clip(jnp.diagonal(H, axis1=-2, axis2=-1),
+                        min_lm_diagonal, max_lm_diagonal)
+        mu = 1.0 / c.radius
+        # (H + μ·diag(H)) — Ceres's DᵀD regularization with D = √diag(H)
+        H_lm = H + mu[:, None, None] * jnp.einsum('bi,ij->bij', diag, eye6)
+        L = jnp.linalg.cholesky(H_lm)
+        chol_ok = jnp.logical_not(jnp.any(jnp.isnan(L), axis=(-1, -2)))
+        L_safe = jnp.where(chol_ok[:, None, None], L, eye6)
+        delta = -jax.scipy.linalg.cho_solve((L_safe, True), g[..., None])[..., 0]
+
+        new_pose = apply_perturb(c.pose, delta)
+        new_cost = _weighted_cost(new_pose, cam_K, pts3d, pts2d, w2)
+
+        # model decrease of 0.5 rᵀWr under the linearized step
+        model_decrease = -(jnp.einsum('bk,bk->b', g, delta)
+                           + 0.5 * jnp.einsum('bi,bij,bj->b', delta, H, delta))
+        rho = (cost - new_cost) / jnp.maximum(model_decrease, 1e-30)
+        accept = jnp.logical_and(chol_ok,
+                                 jnp.logical_and(model_decrease > 0,
+                                                 rho > min_relative_decrease))
+        accept = jnp.logical_and(accept, jnp.isfinite(new_cost))
+
+        shrink = 2.0 * rho - 1.0
+        grow = jnp.maximum(1.0 / 3.0, 1.0 - shrink ** 3)
+        new_radius = jnp.where(accept, c.radius / grow,
+                               c.radius / c.decrease_factor)
+        new_radius = jnp.clip(new_radius, 1e-32, 1e16)
+        new_df = jnp.where(accept, 2.0, c.decrease_factor * 2.0)
+
+        converged = jnp.logical_and(
+            accept, jnp.abs(cost - new_cost) <= function_tolerance * cost)
+        dead = new_radius < 1e-30  # trust region collapsed: give up, flag invalid
+
+        active = jnp.logical_not(c.done)
+        take = jnp.logical_and(active, accept)
+        pose = jnp.where(take[:, None], new_pose, c.pose)
+        cost_out = jnp.where(take, new_cost, c.cost)
+        return Carry(
+            pose=pose,
+            cost=cost_out,
+            radius=jnp.where(active, new_radius, c.radius),
+            decrease_factor=jnp.where(active, new_df, c.decrease_factor),
+            done=jnp.where(active, converged | dead | c.done, c.done),
+            failed=jnp.where(active, c.failed | dead, c.failed),
+            it=c.it + 1,
+            n_iter=c.n_iter + active.astype(jnp.int32),
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+
+    # Ceres validity: usable solution AND converged. Problems still running at
+    # max_iter are NO_CONVERGENCE => invalid (ceres.cpp:134).
+    invalid = out.failed | jnp.logical_not(out.done) | too_few
+    pose = jnp.where(invalid[:, None], pose7_init, out.pose)
+    return LMResult(pose7=pose, invalid=invalid, cost=out.cost,
+                    n_iter=out.n_iter, radius=out.radius)

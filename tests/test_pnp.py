@@ -1,0 +1,217 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation as sciR
+
+from lc_tpu import geom, pnp
+
+RNG = np.random.default_rng(42)
+K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]], np.float32)
+
+
+def make_problem(n_pts=64, batch=4, seed=0, z=600.0):
+    rng = np.random.default_rng(seed)
+    Rs = sciR.random(batch, random_state=seed).as_matrix().astype(np.float32)
+    ts = np.concatenate(
+        (rng.uniform(-50, 50, (batch, 2)), rng.uniform(z, z + 200, (batch, 1))),
+        axis=-1).astype(np.float32)
+    pts3d = rng.uniform(-40, 40, (batch, n_pts, 3)).astype(np.float32)
+    Ks = np.broadcast_to(K, (batch, 3, 3))
+    pose = np.asarray(geom.RT_to_pose7(jnp.asarray(Rs), jnp.asarray(ts)))
+    uv = np.asarray(geom.project_apply(jnp.asarray(Ks), jnp.asarray(pts3d),
+                                       jnp.asarray(Rs), jnp.asarray(ts)))
+    return pose, Ks, pts3d, uv
+
+
+class TestResidual:
+    def test_zero_residual_at_gt(self):
+        pose, Ks, pts3d, uv = make_problem()
+        r, J = pnp.residual_with_jac6d(jnp.asarray(pose), jnp.asarray(Ks),
+                                       jnp.asarray(pts3d), jnp.asarray(uv))
+        assert np.abs(np.asarray(r)).max() < 1e-2  # sub-centipixel at f≈570
+
+    def test_jacobian_matches_autodiff(self):
+        pose, Ks, pts3d, uv = make_problem(n_pts=8, batch=2)
+
+        def res_of_delta(delta, p, k, x3, x2):
+            return pnp.residual_with_jac6d(
+                geom.apply_perturb(p, delta), k, x3, x2)[0]
+
+        J_auto = jax.vmap(
+            lambda p, k, x3, x2: jax.jacfwd(res_of_delta)(
+                jnp.zeros(6), p, k, x3, x2)
+        )(jnp.asarray(pose), jnp.asarray(Ks), jnp.asarray(pts3d), jnp.asarray(uv))
+        _, J = pnp.residual_with_jac6d(jnp.asarray(pose), jnp.asarray(Ks),
+                                       jnp.asarray(pts3d), jnp.asarray(uv))
+        np.testing.assert_allclose(np.asarray(J), np.asarray(J_auto),
+                                   rtol=1e-3, atol=1e-3)
+
+
+class TestLM:
+    def test_recovers_pose_from_noiseless(self):
+        pose, Ks, pts3d, uv = make_problem(batch=8)
+        # perturb the start: a few degrees + translation error
+        d = RNG.normal(size=(8, 6)).astype(np.float32) * np.array(
+            [0.05, 0.05, 0.05, 10, 10, 20], np.float32)
+        start = np.asarray(geom.apply_perturb(jnp.asarray(pose), jnp.asarray(d)))
+        w = jnp.ones((8, 64, 2))
+        res = pnp.lm_refine(jnp.asarray(start), jnp.asarray(Ks),
+                            jnp.asarray(pts3d), jnp.asarray(uv), w)
+        assert not np.any(np.asarray(res.invalid))
+        np.testing.assert_allclose(np.asarray(res.pose7[:, 4:]), pose[:, 4:],
+                                   atol=0.05)
+        dot = np.abs(np.sum(np.asarray(res.pose7[:, :4]) * pose[:, :4], axis=-1))
+        assert np.all(dot > 1.0 - 1e-6)
+
+    def test_weighted_downweights_noisy_points(self):
+        pose, Ks, pts3d, uv = make_problem(batch=4, n_pts=128)
+        noisy = uv.copy()
+        noisy[:, :64] += RNG.normal(size=(4, 64, 2)).astype(np.float32) * 8.0
+        noisy[:, 64:] += RNG.normal(size=(4, 64, 2)).astype(np.float32) * 0.05
+        w = np.zeros((4, 128, 2), np.float32)
+        w[:, :64] = 1.0 / 64.0
+        w[:, 64:] = 1.0 / 0.0025
+        d = RNG.normal(size=(4, 6)).astype(np.float32) * np.array(
+            [0.02, 0.02, 0.02, 5, 5, 10], np.float32)
+        start = np.asarray(geom.apply_perturb(jnp.asarray(pose), jnp.asarray(d)))
+
+        res_w = pnp.lm_refine(jnp.asarray(start), jnp.asarray(Ks),
+                              jnp.asarray(pts3d), jnp.asarray(noisy), jnp.asarray(w))
+        res_u = pnp.lm_refine(jnp.asarray(start), jnp.asarray(Ks),
+                              jnp.asarray(pts3d), jnp.asarray(noisy),
+                              jnp.ones((4, 128, 2)))
+        err_w = np.linalg.norm(np.asarray(res_w.pose7[:, 4:]) - pose[:, 4:], axis=-1)
+        err_u = np.linalg.norm(np.asarray(res_u.pose7[:, 4:]) - pose[:, 4:], axis=-1)
+        assert err_w.mean() < err_u.mean()
+
+    def test_too_few_points_invalid_and_falls_back(self):
+        pose, Ks, pts3d, uv = make_problem(batch=2, n_pts=16)
+        valid = np.zeros((2, 16), bool)
+        valid[0, :8] = True
+        valid[1, :2] = True  # < 3 points
+        start = pose.copy()
+        start[:, 4] += 30.0
+        res = pnp.lm_refine(jnp.asarray(start), jnp.asarray(Ks),
+                            jnp.asarray(pts3d), jnp.asarray(uv),
+                            jnp.ones((2, 16, 2)), valid=jnp.asarray(valid))
+        assert not np.asarray(res.invalid)[0]
+        assert np.asarray(res.invalid)[1]
+        np.testing.assert_allclose(np.asarray(res.pose7)[1], start[1])
+
+    def test_jit_compiles_once(self):
+        pose, Ks, pts3d, uv = make_problem(batch=4)
+        f = jax.jit(pnp.lm_refine)
+        out = f(jnp.asarray(pose), jnp.asarray(Ks), jnp.asarray(pts3d),
+                jnp.asarray(uv), jnp.ones((4, 64, 2)))
+        assert out.pose7.shape == (4, 7)
+
+
+class TestRansac:
+    def test_recovers_pose_with_outliers(self):
+        pose, Ks, pts3d, uv = make_problem(batch=4, n_pts=128, seed=3)
+        corrupted = uv.copy()
+        out_idx = RNG.choice(128, 50, replace=False)
+        corrupted[:, out_idx] = RNG.uniform(0, 640, size=(4, 50, 2)).astype(np.float32)
+        res = pnp.ransac_pnp(jnp.asarray(Ks), jnp.asarray(pts3d),
+                             jnp.asarray(corrupted), jax.random.PRNGKey(0),
+                             reproj_threshold=3.0)
+        assert not np.any(np.asarray(res.invalid))
+        assert np.all(np.asarray(res.n_inliers) >= 70)
+        np.testing.assert_allclose(np.asarray(res.pose7[:, 4:]), pose[:, 4:],
+                                   atol=2.0)
+        dot = np.abs(np.sum(np.asarray(res.pose7[:, :4]) * pose[:, :4], axis=-1))
+        assert np.all(dot > 0.9999)
+
+    def test_inlier_mask_excludes_outliers(self):
+        pose, Ks, pts3d, uv = make_problem(batch=1, n_pts=64, seed=5)
+        corrupted = uv.copy()
+        corrupted[:, :20] += 80.0
+        res = pnp.ransac_pnp(jnp.asarray(Ks), jnp.asarray(pts3d),
+                             jnp.asarray(corrupted), jax.random.PRNGKey(1))
+        inl = np.asarray(res.inliers[0])
+        assert inl[:20].sum() == 0
+        assert inl[20:].sum() >= 40
+
+    def test_dlt_exact(self):
+        pose, Ks, pts3d, uv = make_problem(batch=4, n_pts=12, seed=7)
+        p7, ok = pnp.dlt_pnp(jnp.asarray(Ks), jnp.asarray(pts3d), jnp.asarray(uv))
+        assert np.all(np.asarray(ok))
+        np.testing.assert_allclose(np.asarray(p7[:, 4:]), pose[:, 4:], atol=1.0)
+
+
+class TestCovariance:
+    def _setup(self, batch=2, n=32, seed=9):
+        pose, Ks, pts3d, uv = make_problem(batch=batch, n_pts=n, seed=seed)
+        w = RNG.uniform(0.5, 2.0, size=(batch, n, 2)).astype(np.float32)
+        return (jnp.asarray(pose), jnp.asarray(Ks), jnp.asarray(pts3d),
+                jnp.asarray(uv), jnp.asarray(w))
+
+    def test_jacobian_vs_lm_resolve_fd(self):
+        """∂update/∂pts2d from the closed form must match finite differences of the
+        actual weighted LM solution."""
+        pose, Ks, pts3d, uv, w = self._setup(batch=1)
+        out = pnp.weighted_pnp_jac_cov(pose, Ks, pts3d, uv, w)
+        assert not np.asarray(out.invalid)[0]
+
+        def solve_local(uv_pert):
+            res = pnp.lm_refine(pose, Ks, pts3d, uv_pert, w,
+                                function_tolerance=1e-12, max_iter=100)
+            # local coordinates of solution relative to GT pose
+            dq = geom.quaternion_raw_multiply(
+                geom.quaternion_invert(pose[..., :4]), res.pose7[..., :4])
+            aa = geom.quaternion_to_axis_angle(dq)
+            dt = res.pose7[..., 4:] - pose[..., 4:]
+            return jnp.concatenate((aa, dt), axis=-1)[0]
+
+        eps = 0.05
+        for (n_i, c_i) in [(0, 0), (5, 1), (17, 0)]:
+            duv = np.zeros_like(np.asarray(uv))
+            duv[0, n_i, c_i] = eps
+            plus = np.asarray(solve_local(uv + duv))
+            minus = np.asarray(solve_local(uv - duv))
+            fd = (plus - minus) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(out.jac[0, :, n_i, c_i]), fd,
+                                       rtol=0.05, atol=2e-4)
+
+    def test_cov_is_inverse_hessian(self):
+        pose, Ks, pts3d, uv, w = self._setup()
+        out = pnp.weighted_pnp_jac_cov(pose, Ks, pts3d, uv, w)
+        _, J = pnp.residual_with_jac6d(pose, Ks, pts3d, uv)
+        H = np.einsum('bnci,bncj,bnc->bij', np.asarray(J), np.asarray(J),
+                      np.asarray(w))
+        np.testing.assert_allclose(np.asarray(out.cov) @ H,
+                                   np.broadcast_to(np.eye(6), (2, 6, 6)), atol=1e-2)
+
+    def test_differentiable_wrt_weights(self):
+        pose, Ks, pts3d, uv, w = self._setup(batch=1)
+
+        def f(weights):
+            out = pnp.weighted_pnp_jac_cov(pose, Ks, pts3d, uv, weights)
+            return jnp.sum(out.cov ** 2) + jnp.sum(out.jac ** 2)
+
+        g = jax.grad(f)(w)
+        assert np.all(np.isfinite(np.asarray(g)))
+        # finite-difference check on one weight
+        eps = 1e-3
+        dw = np.zeros_like(np.asarray(w))
+        dw[0, 3, 1] = eps
+        fd = (float(f(w + dw)) - float(f(w - dw))) / (2 * eps)
+        np.testing.assert_allclose(float(np.asarray(g)[0, 3, 1]), fd, rtol=0.02)
+
+    def test_safe_cholesky_flags_nonspd(self):
+        good = jnp.eye(6)[None] * 2.0
+        bad = -jnp.eye(6)[None]
+        L, inv = pnp.safe_cholesky(jnp.concatenate((good, bad)))
+        assert not np.asarray(inv)[0] and np.asarray(inv)[1]
+        assert np.all(np.isfinite(np.asarray(L)))
+
+    def test_pnp_update_backward_is_neg_chosolve(self):
+        H = np.eye(6, dtype=np.float32) * 4.0
+        L = jnp.asarray(np.linalg.cholesky(H))
+        jtr = jnp.ones((6, 1))
+        _, vjp = jax.vjp(lambda j: pnp.pnp_update(L, j), jtr)
+        g = jnp.arange(1.0, 7.0)
+        (cot,) = vjp(g)
+        np.testing.assert_allclose(np.asarray(cot)[:, 0],
+                                   -np.asarray(g) / 4.0, rtol=1e-5)
