@@ -1,0 +1,75 @@
+"""Device-side affine ROI cropping (the cv2.warpAffine replacement).
+
+The reference warps every crop on CPU inside DataLoader workers (3 warpAffines per
+sample, dataset.py:409-444). Here the warp is a jit-compiled batched gather+lerp on
+device: the host ships the full image once and all crops (input RGB, output-res
+masks, homo_z) are cut on-chip, which is the big input-pipeline win on TPU.
+
+Convention matches cv2.warpAffine(dst_size, M): M maps source pixels to destination
+pixels; we evaluate dst(x) = src(M⁻¹x) with bilinear or nearest sampling and zero
+padding outside the source.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..geom.affine import invert_affine
+
+
+def _sample_bilinear(img: jax.Array, xs: jax.Array, ys: jax.Array) -> jax.Array:
+    """img (H, W, C); xs, ys (h, w) source coords. Zero outside."""
+    H, W = img.shape[:2]
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = (xs - x0)[..., None]
+    fy = (ys - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        return v * valid[..., None]
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _sample_nearest(img: jax.Array, xs: jax.Array, ys: jax.Array) -> jax.Array:
+    H, W = img.shape[:2]
+    xi = jnp.round(xs).astype(jnp.int32)
+    yi = jnp.round(ys).astype(jnp.int32)
+    valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+    return v * valid[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=('out_hw', 'method'))
+def affine_warp(img: jax.Array, affine: jax.Array, out_hw: tuple,
+                method: str = 'bilinear') -> jax.Array:
+    """Warp one image. img (H, W, C); affine (2, 3) source->dst; out (h, w, C)."""
+    h, w = out_hw
+    inv = invert_affine(affine, xp=jnp)
+    xs_d = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys_d = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = inv[0, 0] * xs_d + inv[0, 1] * ys_d + inv[0, 2]
+    ys = inv[1, 0] * xs_d + inv[1, 1] * ys_d + inv[1, 2]
+    if method == 'bilinear':
+        return _sample_bilinear(img, xs, ys)
+    return _sample_nearest(img, xs, ys)
+
+
+@functools.partial(jax.jit, static_argnames=('out_hw', 'method'))
+def batched_affine_warp(imgs: jax.Array, affines: jax.Array, out_hw: tuple,
+                        method: str = 'bilinear') -> jax.Array:
+    """imgs (B, H, W, C), affines (B, 2, 3) -> (B, h, w, C)."""
+    return jax.vmap(lambda im, af: affine_warp(im, af, out_hw, method))(
+        imgs, affines)

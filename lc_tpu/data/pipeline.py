@@ -1,0 +1,485 @@
+"""BOP dataset + input pipeline: host record assembly, device-side preprocessing.
+
+Split of work (vs. the reference's 8 fork'd DataLoader workers doing everything on
+CPU, dataset.py:367-491):
+  * host (thread pool): image/mask/z_crop decode, DZI bbox jitter, affine matrices,
+    the small out-res nearest warps (homo_z, rejection check), symmetry candidate
+    padding — cheap numpy/cv2 work;
+  * device (one jit program per batch): the expensive full-image bilinear crops of
+    RGB and masks, background compositing, the color-aug pipeline, normalization —
+    fused by XLA, running where the data is consumed.
+
+All batch shapes are static: symmetry candidates padded to the per-dataset max K,
+check points fixed at 256, crops fixed at net_input/net_output sizes.
+"""
+from __future__ import annotations
+
+import functools
+import gzip
+import math
+import os
+import os.path as osp
+import pickle
+import queue
+import threading
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import bop, rle
+from .augment import color_augment, switch_background
+from .crop import batched_affine_warp
+from .model_info import load_composed_model_info
+from ..geom.affine import crop_affine, affine33
+from ..geom.symmetry import symmetry_pose_candidates, pad_candidates
+from .. import codec
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+# reference dataset.py:21-35
+DATASET_SYMMETRIC_OBJ_IDS = {
+    "lm": [3, 7, 10, 11],
+    "lmo": [10, 11],
+    "tless": list(range(1, 31)),
+    "tudl": [],
+    "tyol": [3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 15, 16, 17, 18, 19, 21],
+    "ruapc": [8, 9, 12, 13],
+    "icmi": [1, 2, 6],
+    "icbin": [1],
+    "itodd": [2, 3, 4, 5, 7, 8, 9, 11, 12, 14, 17, 18, 19, 23, 24, 25, 27, 28],
+    "hbs": [10, 12, 18, 29],
+    "hb": [6, 10, 11, 12, 13, 14, 18, 24, 29],
+    "ycbv": [1, 13, 14, 16, 18, 19, 20, 21],
+    "ycbvposecnn": [13, 16, 19, 20, 21],
+    "synthetic": [],
+    "synthetic_sym": [1],
+}
+
+CHECK_PT_CNT = 256
+
+
+def _load_detections(det_path: str) -> dict:
+    """Best-scoring detector bbox per (scene/im, obj) (reference dataset.py:111-134)."""
+    import json
+    with open(det_path) as f:
+        raw = json.load(f)
+    det = {}
+    for k, v in raw.items():
+        per_obj = {}
+        for d in v:
+            per_obj.setdefault(d['obj_id'], []).append(d)
+        for oid, lst in per_obj.items():
+            best = sorted(lst, key=lambda d: d['score'])[-1]
+            det[f'{k}_{oid}'] = np.asarray(best['bbox_est'], np.float32)
+    return det
+
+
+class BOPDataset:
+    """Host-side sample assembly. One instance per (cfg_dataset, train) pair."""
+
+    def __init__(self, cfg_dataset, cfg_global, train: bool = True):
+        import cv2
+        self._cv2 = cv2
+        cv2.setNumThreads(0)
+        self.cfg = cfg_dataset
+        self.cfg_global = cfg_global
+        self.training = train
+
+        obj_ids = cfg_global.get('obj_ids')
+        cache_dir = cfg_global.get('cache_dir', '')
+        visib_frac = max(cfg_dataset.get('visib_frac', 0), 0)
+        annots = []
+        for list_file in cfg_dataset.list_files:
+            annots.extend(bop.load_annots_from_image_list(
+                list_file, cfg_dataset.dataset_root, flatten=True,
+                visib_fract_th=visib_frac, obj_ids=obj_ids,
+                cache_dir=cache_dir, gt_keys=['bbox_visib']))
+
+        if not train and cfg_dataset.get('detection'):
+            det = _load_detections(cfg_dataset.detection)
+            kept = []
+            for im, inst in annots:
+                key = f"{im['scene_id']}/{im['im_id']}_{inst['obj_id']}"
+                if key in det:
+                    inst = dict(inst)
+                    inst['bbox_det'] = det[key]
+                    kept.append((im, inst))
+            annots = kept
+        if not annots:
+            raise RuntimeError('no annotations after filtering')
+        self.annots = annots
+
+        self.model_info = load_composed_model_info(
+            cfg_dataset.dataset_root,
+            transform_model=cfg_global.get('transform_model', False),
+            xform_path=cfg_global.get('transform_path'))
+
+        max_bit_cnt = cfg_global.get('max_bit_cnt', 0)
+        if max_bit_cnt > 0:
+            oid = annots[0][1]['obj_id']
+            assert all(a[1]['obj_id'] == oid for a in annots), \
+                'binary mode only allowed in single object mode'
+            self.bit_cnt = tuple(codec.calc_bit_count(
+                self.model_info[oid]['noc_scale_xfd'].tolist(),
+                max_bits=max_bit_cnt))
+        else:
+            self.bit_cnt = None
+
+        self.sym_obj_ids = []
+        if cfg_global.get('sym_aware', cfg_dataset.get('sym_aware', False)):
+            name = cfg_dataset.get('name')
+            ids = DATASET_SYMMETRIC_OBJ_IDS.get(name)
+            if ids is None:
+                raise RuntimeError(f'dataset name not found: {name}')
+            self.sym_obj_ids = ids
+
+        # fixed candidate count for padding: max over objects present
+        self.max_candidates = 1
+        present_ids = {a[1]['obj_id'] for a in annots}
+        for oid in present_ids:
+            if oid in self.sym_obj_ids:
+                info = self.model_info[oid]
+                if 'symmetries_discrete' in info:
+                    k = 1 + len(info['symmetries_discrete'])
+                elif 'symmetries_continuous' in info:
+                    k = 384
+                else:
+                    k = 1
+                self.max_candidates = max(self.max_candidates, k)
+
+        self.sparse_cnt = cfg_global.get('sparse_cnt', 0)
+        self.fps = None
+        if self.sparse_cnt > 0:
+            with open(cfg_global.fps, 'rb') as f:
+                self.fps = pickle.load(f)
+
+        self.transform_model = cfg_global.get('transform_model', False)
+        self.valid_pix_cnt_th = cfg_dataset.get('valid_pix_cnt_th', 100)
+        self.net_input_wh = tuple(cfg_global.get(
+            'net_input_wh', cfg_dataset.get('net_input_wh', (256, 256))))
+        self.net_output_wh = tuple(cfg_global.get(
+            'net_output_wh', cfg_dataset.get('net_output_wh', (64, 64))))
+        mask_interp = cfg_dataset.get('mask_interp', 'linear').lower()
+        self.mask_nearest = mask_interp == 'nearest'
+
+        self.bg_list = None
+        if train and cfg_dataset.get('bg_dir') and osp.isdir(cfg_dataset.bg_dir):
+            self.bg_list = sorted(
+                osp.join(cfg_dataset.bg_dir, f)
+                for f in os.listdir(cfg_dataset.bg_dir))
+
+        self._mask_cache: dict = {}
+
+    def __len__(self):
+        return len(self.annots)
+
+    # ---------- per-sample host work ----------
+
+    def _read_mask(self, im_info, inst_info):
+        key = (im_info['split'], im_info['scene_id'], im_info['im_id'],
+               inst_info['inst_idx'])
+        path = osp.join(self.cfg.dataset_root,
+                        bop.mask_path(im_info, inst_info))
+        m = self._cv2.imread(path, self._cv2.IMREAD_GRAYSCALE)
+        if m is None:
+            raise FileNotFoundError(path)
+        return (m > 127).astype(np.float32)
+
+    def _homo_z_full(self, im_info, inst_info, size_hw, fill_hole=True):
+        """gzip z_crop -> full-image (u·z, v·z, z) map + mask (dataset.py:287-311)."""
+        path = osp.join(self.cfg.dataset_root,
+                        bop.z_crop_path(im_info, inst_info))
+        with gzip.open(path, 'rb') as f:
+            zi = pickle.load(f)
+        homo_z = np.zeros(size_hw + (3,), np.float32)
+        msk_full = np.zeros(size_hw, np.float32)
+        (x1, y1, x2, y2) = zi['xyxy']
+        z_crop, z_max, z_min = zi['z_crop'], zi['z_max'], zi['z_min']
+        if z_max == 0:
+            raise RuntimeError('no target in ROI')
+        msk = z_crop != 0
+        if fill_hole:
+            z_crop = self._cv2.medianBlur(z_crop, ksize=3)
+        v, u = np.nonzero(msk)
+        z = (z_crop[msk] - 1).astype(np.float32) * \
+            ((z_max - z_min) / 65534) + z_min
+        u1, v1 = u + x1, v + y1
+        homo_z[v1, u1] = np.stack(
+            (u1 + 0.5, v1 + 0.5, np.ones_like(u1)), axis=-1) * z[:, None]
+        msk_full[y1:y2 + 1, x1:x2 + 1] = msk
+        return homo_z, msk_full
+
+    def _aug_bbox(self, bbox_xyxy, H, W, rng):
+        cfg = self.cfg
+        x1, y1, x2, y2 = bbox_xyxy
+        cx, cy = 0.5 * (x1 + x2), 0.5 * (y1 + y2)
+        bw, bh = x2 - x1, y2 - y1
+        scale_ratio = 1 + cfg.dzi_scale_ratio * (2 * rng.random() - 1)
+        shift = cfg.dzi_shift_ratio * (2 * rng.random(2) - 1)
+        center = np.array([cx + bw * shift[0], cy + bh * shift[1]])
+        scale = max(y2 - y1, x2 - x1) * scale_ratio * cfg.dzi_pad_scale
+        return center, float(min(scale, max(H, W)))
+
+    def sample(self, index: int, rng: np.random.Generator):
+        """Assemble one host blob; returns None for degenerate training crops
+        (caller resamples)."""
+        import imageio.v2 as iio
+        cv2 = self._cv2
+        im_info, inst_info = self.annots[index]
+        cfg = self.cfg
+        train = self.training
+        rgb = np.asarray(iio.imread(
+            osp.join(cfg.dataset_root, im_info['rgb']), pilmode='RGB'))
+        H, W = rgb.shape[:2]
+        cam_K = im_info['cam_K']
+        obj_id = inst_info['obj_id']
+        R = inst_info['cam_R_m2c']
+        t = inst_info['cam_t_m2c'][..., 0]
+        m_info = self.model_info[obj_id]
+        no_aug = not train
+
+        if train:
+            msk_visib = self._read_mask(im_info, inst_info)
+            homo_z, _ = self._homo_z_full(im_info, inst_info, (H, W), False)
+        else:
+            msk_visib = np.zeros((H, W), np.float32)
+            homo_z = np.ones((H, W, 3), np.float32)
+
+        bbox_xywh = inst_info.get('bbox_det') if not train else None
+        if bbox_xywh is None:
+            bbox_xywh = inst_info['bbox_visib']
+        bbox_xyxy = np.concatenate(
+            (bbox_xywh[:2], bbox_xywh[:2] + bbox_xywh[2:]), axis=-1)
+
+        if not no_aug:
+            center, scale = self._aug_bbox(bbox_xyxy, H, W, rng)
+        else:
+            center = (bbox_xyxy[:2] + bbox_xyxy[2:]) * 0.5
+            scale = float(max(bbox_xywh[2], bbox_xywh[3], 1)) * cfg.dzi_pad_scale
+
+        rotate = rng.random() * 4 * math.pi \
+            if (not no_aug and rng.random() < cfg.get('rotate_prob', 0)) else 0.0
+
+        out_wh, in_wh = self.net_output_wh, self.net_input_wh
+        out_aff = crop_affine(center, scale, rotate, out_wh).astype(np.float32)
+        in_aff = crop_affine(center, scale, rotate, in_wh).astype(np.float32)
+        out_K = (affine33(out_aff) @ cam_K).astype(np.float32)
+
+        blob = {
+            'rgb_full': rgb,
+            'msk_full': (msk_visib * 255).astype(np.uint8),
+            'in_affine': in_aff,
+            'out_affine': out_aff,
+            'out_K': out_K,
+            'noc_scale': m_info['noc_scale_xfd'].astype(np.float32),
+            'noc_scale_ori': m_info['noc_scale_ori'].astype(np.float32),
+            'out_pix_scale': np.float32(scale / out_wh[0]),
+            'obj_id': np.int32(obj_id),
+            'im_id': np.int32(im_info['im_id']),
+            'scene_id': np.int32(im_info['scene_id']),
+        }
+        if self.sparse_cnt > 0:
+            blob['pts3d'] = np.asarray(
+                self.fps[obj_id][:self.sparse_cnt], np.float32)
+        if self.transform_model:
+            blob['model_transform'] = m_info['xform'].astype(np.float32)
+
+        if not train:
+            blob['switch_bg'] = np.bool_(False)
+            blob['pixel_aug'] = np.bool_(False)
+            blob['bg_crop'] = np.zeros(in_wh[::-1] + (3,), np.uint8)
+            return blob
+
+        # --- training-only parts ---
+        msk_noc_small = cv2.warpAffine(
+            msk_visib, out_aff, out_wh, flags=cv2.INTER_NEAREST) > 0.5
+        valid_pos = msk_noc_small.nonzero()
+        valid_cnt = len(valid_pos[0])
+        if valid_cnt < self.valid_pix_cnt_th:
+            return None
+
+        sel, idx_chunks = 0, []
+        while sel < CHECK_PT_CNT:
+            n_new = min(valid_cnt, CHECK_PT_CNT - sel)
+            sel += n_new
+            idx_chunks.append(rng.choice(valid_cnt, n_new, replace=False))
+        ck = np.concatenate(idx_chunks)
+        sym_ck = np.stack((valid_pos[1][ck], valid_pos[0][ck]), axis=-1)
+
+        homo_z_out = cv2.warpAffine(homo_z, out_aff, out_wh,
+                                    flags=cv2.INTER_NEAREST)
+
+        if obj_id in self.sym_obj_ids:
+            cands = symmetry_pose_candidates(R, t, m_info)
+        else:
+            cands = np.concatenate((R, t[:, None]), axis=-1)[None] \
+                .astype(np.float32)
+        cands, cand_valid = pad_candidates(cands, self.max_candidates)
+
+        switch_bg = bool(self.bg_list) and rng.random() < cfg.get(
+            'switch_bg_prob', 0)
+        if switch_bg:
+            blob['bg_crop'] = self._random_bg_crop(rng, in_wh)
+        else:
+            blob['bg_crop'] = np.zeros(in_wh[::-1] + (3,), np.uint8)
+
+        blob.update({
+            'homo_z_out': homo_z_out.astype(np.float32),
+            'K_no_aug': cam_K.astype(np.float32),
+            'R_no_aug': R.astype(np.float32),
+            't_no_aug': t.astype(np.float32),
+            'sym_ck_pts2d': sym_ck.astype(np.int32),
+            'Rt_candi': cands,
+            'candi_valid': cand_valid,
+            'bbox_3d': m_info['bbox_3d_ori'].astype(np.float32),
+            'diameter': np.float32(m_info['diameter']),
+            'switch_bg': np.bool_(switch_bg),
+            'pixel_aug': np.bool_(rng.random() < cfg.get('pixel_aug_prob', 0)),
+        })
+        return blob
+
+    def _random_bg_crop(self, rng, in_wh):
+        """Random resized crop of a random background image (dataset.py:137-148)."""
+        import imageio.v2 as iio
+        cv2 = self._cv2
+        path = self.bg_list[rng.integers(len(self.bg_list))]
+        bg = np.asarray(iio.imread(path, pilmode='RGB'))
+        bh, bw = bg.shape[:2]
+        W, Hh = in_wh
+        rw = max(int(rng.random() * bw), W)
+        rh = max(int(rng.random() * bh), Hh)
+        rl = max(int(rng.random() * (bw - rw)), 0)
+        rt = max(int(rng.random() * (bh - rh)), 0)
+        roi = bg[rt:rt + rh, rl:rl + rw]
+        return cv2.resize(roi, (W, Hh)).astype(np.uint8)
+
+
+def collate(samples: list[dict]) -> dict:
+    out = {}
+    for k in samples[0]:
+        out[k] = np.stack([s[k] for s in samples])
+    return out
+
+
+class Loader:
+    """Shuffling, rejection-resampling loader with background prefetch threads."""
+
+    def __init__(self, dataset: BOPDataset, batch_size: int, *, seed: int = 0,
+                 shuffle: bool | None = None, num_threads: int = 4,
+                 prefetch: int = 2, drop_last: bool | None = None):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = dataset.training if shuffle is None else shuffle
+        self.drop_last = dataset.training if drop_last is None else drop_last
+        self.seed = seed
+        self.num_threads = max(num_threads, 1)
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _sample_ok(self, idx, rng):
+        blob = self.ds.sample(idx, rng)
+        while blob is None:
+            blob = self.ds.sample(int(rng.integers(len(self.ds))), rng)
+        return blob
+
+    def __iter__(self):
+        rng = np.random.default_rng((self.seed, self.epoch))
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            rng.shuffle(order)
+        self.epoch += 1
+        n_batches = len(self)
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(n_batches)]
+        lock = threading.Lock()
+        cursor = [0]
+
+        def worker(tid):
+            wrng = np.random.default_rng((self.seed, self.epoch, tid))
+            while True:
+                with lock:
+                    i = cursor[0]
+                    if i >= len(batches):
+                        break
+                    cursor[0] += 1
+                idxs = batches[i]
+                samples = [self._sample_ok(int(j), wrng) for j in idxs]
+                q.put((i, collate(samples)))
+            q.put((None, None))
+
+        threads = [threading.Thread(target=worker, args=(t,), daemon=True)
+                   for t in range(self.num_threads)]
+        for t in threads:
+            t.start()
+
+        done = 0
+        pending: dict = {}
+        want = 0
+        while done < self.num_threads or pending or want < len(batches):
+            i, b = q.get()
+            if i is None:
+                done += 1
+                if done == self.num_threads and want >= len(batches):
+                    break
+                continue
+            pending[i] = b
+            while want in pending:
+                yield pending.pop(want)
+                want += 1
+            if want >= len(batches) and not pending:
+                break
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'net_input_wh', 'net_output_wh', 'mask_nearest', 'use_pepper_salt',
+    'use_motion_blur', 'use_invert', 'train'))
+def device_preprocess(batch: dict, key: jax.Array, *, net_input_wh, net_output_wh,
+                      mask_nearest=False, use_pepper_salt=False,
+                      use_motion_blur=False, use_invert=False, train=True) -> dict:
+    """Device-side stage: crops, bg switch, color aug, normalize. Consumes the host
+    blob from Loader, returns the gt blob the model/loss consume."""
+    in_hw = (net_input_wh[1], net_input_wh[0])
+    out_hw = (net_output_wh[1], net_output_wh[0])
+    rgb_full = batch['rgb_full'].astype(jnp.float32)
+    rgb_in = batched_affine_warp(rgb_full, batch['in_affine'], in_hw, 'bilinear')
+
+    if train:
+        msk_full = (batch['msk_full'].astype(jnp.float32) / 255.0)[..., None]
+        msk_in = batched_affine_warp(msk_full, batch['in_affine'], in_hw,
+                                     'bilinear')[..., 0]
+        rgb_in = switch_background(rgb_in, msk_in,
+                                   batch['bg_crop'].astype(jnp.float32),
+                                   batch['switch_bg'])
+        k_aug, key = jax.random.split(key)
+        auged = color_augment(rgb_in, k_aug, use_pepper_salt=use_pepper_salt,
+                              use_motion_blur=use_motion_blur,
+                              use_invert=use_invert)
+        rgb_in = jnp.where(batch['pixel_aug'][:, None, None, None],
+                           auged, rgb_in)
+        msk_vis = batched_affine_warp(
+            msk_full, batch['out_affine'], out_hw,
+            'nearest' if mask_nearest else 'bilinear')[..., 0]
+        msk_noc = batched_affine_warp(msk_full, batch['out_affine'], out_hw,
+                                      'nearest')[..., 0] > 0.5
+
+    x = rgb_in / 255.0
+    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+
+    out = dict(batch)
+    for k in ('rgb_full', 'msk_full', 'bg_crop', 'in_affine', 'switch_bg',
+              'pixel_aug'):
+        out.pop(k, None)
+    out['img_in'] = x
+    if train:
+        out['msk_vis'] = msk_vis
+        out['msk_noc'] = msk_noc.astype(jnp.float32)
+    return out

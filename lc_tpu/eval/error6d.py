@@ -1,0 +1,83 @@
+"""6D pose error metrics, on-device and batched.
+
+Semantics match reference lib/utils/error6d.py (bop_toolkit-derived). The ADI
+nearest-neighbor search replaces the host cKDTree with a brute-force pairwise
+min-distance — models_eval meshes are a few thousand vertices, so the (N, N)
+distance matrix is tiny by MXU standards and the whole eval batch runs in one jit.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _transform(pts, R, t):
+    return pts @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+
+
+def add_err(R_est, t_est, R_gt, t_gt, pts):
+    """Mean distance between corresponding transformed model points (ACCV'12)."""
+    d = _transform(pts, R_est, t_est) - _transform(pts, R_gt, t_gt)
+    return jnp.mean(jnp.linalg.norm(d, axis=-1), axis=-1)
+
+
+def adi_err(R_est, t_est, R_gt, t_gt, pts):
+    """Mean distance to the nearest estimated point, for indistinguishable views."""
+    est = _transform(pts, R_est, t_est)
+    gt = _transform(pts, R_gt, t_gt)
+    # ||g - e||² = |g|² + |e|² - 2 g·e ; the cross term is one big matmul
+    g2 = jnp.sum(gt * gt, axis=-1)[..., :, None]
+    e2 = jnp.sum(est * est, axis=-1)[..., None, :]
+    cross = gt @ jnp.swapaxes(est, -1, -2)
+    d2 = jnp.maximum(g2 + e2 - 2.0 * cross, 0.0)
+    return jnp.mean(jnp.sqrt(jnp.min(d2, axis=-1)), axis=-1)
+
+
+def re_err(R_est, R_gt):
+    """Rotation geodesic error in degrees."""
+    cos = 0.5 * (jnp.trace(R_est @ jnp.swapaxes(R_gt, -1, -2),
+                           axis1=-2, axis2=-1) - 1.0)
+    return jnp.degrees(jnp.arccos(jnp.clip(cos, -1.0, 1.0)))
+
+
+def te_err(t_est, t_gt):
+    return jnp.linalg.norm(t_est - t_gt, axis=-1)
+
+
+def proj_err(R_est, t_est, R_gt, t_gt, K, pts):
+    """Mean 2D projection distance (Brachmann CVPR'16)."""
+    def project(R, t):
+        cam = _transform(pts, R, t)
+        h = cam @ jnp.swapaxes(K, -1, -2)
+        return h[..., :2] / h[..., 2:3]
+    return jnp.mean(jnp.linalg.norm(project(R_est, t_est) - project(R_gt, t_gt),
+                                    axis=-1), axis=-1)
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _batched_errors_jit(R_est, t_est, R_gt, t_gt, pts):
+    return dict(
+        add=add_err(R_est, t_est, R_gt, t_gt, pts),
+        adi=adi_err(R_est, t_est, R_gt, t_gt, pts),
+        re=re_err(R_est, R_gt),
+        te=te_err(t_est, t_gt),
+    )
+
+
+def batched_pose_errors(R_est: np.ndarray, t_est: np.ndarray, R_gt: np.ndarray,
+                        t_gt: np.ndarray, pts: np.ndarray,
+                        chunk: int = 64) -> dict:
+    """Host API: numpy in/out, chunked over instances to bound the (B, N, N) ADI
+    intermediate. pts is shared across the batch (single-object eval) or (B, N, 3)."""
+    B = len(R_est)
+    outs: list[dict] = []
+    for i in range(0, B, chunk):
+        sl = slice(i, min(i + chunk, B))
+        p = pts[sl] if pts.ndim == 3 else pts
+        outs.append(jax.tree.map(np.asarray, _batched_errors_jit(
+            jnp.asarray(R_est[sl]), jnp.asarray(t_est[sl]),
+            jnp.asarray(R_gt[sl]), jnp.asarray(t_gt[sl]), jnp.asarray(p))))
+    return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}

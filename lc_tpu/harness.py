@@ -1,0 +1,195 @@
+"""Shared harness: config -> model/loss/data/optimizer wiring, test loop.
+
+The glue the reference spreads over train.py / test.py / utils.py, built once here
+and used by both CLI entry points and the tests.
+"""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import inference
+from .data.pipeline import BOPDataset, Loader, device_preprocess
+from .eval.evaluator import Evaluator, gen_score_table
+from .geom.pose import pose7_to_RT
+from .loss import LossConfig
+from .models import build_model
+from .optim.factory import build_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+def make_loss_config(cfg, steps_per_epoch: int, bit_cnt) -> LossConfig:
+    lc = cfg.loss
+    pose_cfg = lc.get('pose_loss_cfg', {})
+    full = max(lc.get('pose_loss_start_step', 0),
+               lc.get('pose_loss_start_epoch', 0) * steps_per_epoch)
+    return LossConfig(
+        w_loss_noc=lc.get('w_loss_noc', 0.0),
+        w_loss_noc_bin=lc.get('w_loss_noc_bin', 0.0),
+        w_loss_seg=lc.get('w_loss_seg', 0.0),
+        w_loss_pose=lc.get('w_loss_pose', 0.0),
+        w_loss_kpts=lc.get('w_loss_kpts', 0.0),
+        seg_loss_type=lc.get('seg_loss_type', 'BCE').lower(),
+        full_pose_loss_step=int(full),
+        loss_pose_nz_step=lc.get('loss_pose_nz_step', 0),
+        dense_sample=pose_cfg.get('dense_sample', 2),
+        max_err_len=pose_cfg.get('max_err_len', 32),
+        clip_weight_grad=pose_cfg.get('clip_weight_grad', True),
+        clip_scale_grad=pose_cfg.get('clip_scale_grad', False),
+        clip_pts_grad=pose_cfg.get('clip_pts_grad', False),
+        bit_cnt=tuple(bit_cnt) if bit_cnt else None,
+        black_background=cfg.get('black_background', False),
+        sparse=cfg.get('sparse_cnt', 0) > 3,
+    )
+
+
+def build_model_from_cfg(cfg, total_bit_cnt: int):
+    return build_model(cfg.model.net_name, dict(cfg.model.get('net_config', {})),
+                       sparse_cnt=cfg.get('sparse_cnt', 0),
+                       total_bit_cnt=total_bit_cnt)
+
+
+def make_datasets(cfg, train: bool = True, seed: int = 0):
+    """Returns (dataset(s), loader) — a RatioMixLoader when train_dataset_1 exists
+    (reference utils.py:79-147, MultiLoader)."""
+    batch = cfg.dataloader.batch_size
+    if train and 'train_dataset_1' in cfg:
+        import copy
+        d1_cfg = copy.deepcopy(cfg.train_dataset_1)
+        for k, v in cfg.train_dataset.items():
+            if k not in d1_cfg:
+                d1_cfg[k] = v
+        b1 = int(batch * cfg.train_dataset_1.ratio)
+        ds1 = BOPDataset(d1_cfg, cfg, train=True)
+        ds0 = BOPDataset(cfg.train_dataset, cfg, train=True)
+        l1 = Loader(ds1, b1, seed=seed)
+        l0 = Loader(ds0, batch - b1, seed=seed + 1)
+        return ds0, RatioMixLoader(l0, l1)
+    ds_cfg = cfg.train_dataset if train else cfg.test_dataset
+    ds = BOPDataset(ds_cfg, cfg, train=train)
+    loader = Loader(ds, batch, seed=seed, shuffle=train, drop_last=train)
+    return ds, loader
+
+
+class RatioMixLoader:
+    """Endless mixer of two loaders into one batch (real + PBR ratio mixing)."""
+
+    def __init__(self, loader0: Loader, loader1: Loader):
+        self.l0, self.l1 = loader0, loader1
+        self.i0 = iter(self.l0)
+        self.i1 = iter(self.l1)
+
+    def __len__(self):
+        return max(len(self.l0), len(self.l1))
+
+    def _next(self, which: int):
+        it = self.i0 if which == 0 else self.i1
+        try:
+            return next(it)
+        except StopIteration:
+            if which == 0:
+                self.i0 = iter(self.l0)
+                return next(self.i0)
+            self.i1 = iter(self.l1)
+            return next(self.i1)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        b0 = self._next(0)
+        b1 = self._next(1)
+        out = {}
+        for k in b0:
+            a, b = b0[k], b1[k]
+            if a.ndim >= 3 and k == 'Rt_candi' and a.shape[1] != b.shape[1]:
+                mk = max(a.shape[1], b.shape[1])
+                a = np.concatenate(
+                    (a, np.repeat(a[:, :1], mk - a.shape[1], 1)), 1)
+                b = np.concatenate(
+                    (b, np.repeat(b[:, :1], mk - b.shape[1], 1)), 1)
+            out[k] = np.concatenate((a, b), axis=0)
+        return out
+
+
+def preprocess_kwargs(cfg, dataset, train: bool) -> dict:
+    ds_cfg = cfg.train_dataset if train else cfg.test_dataset
+    return dict(
+        net_input_wh=tuple(dataset.net_input_wh),
+        net_output_wh=tuple(dataset.net_output_wh),
+        mask_nearest=dataset.mask_nearest,
+        use_pepper_salt=ds_cfg.get('use_peper_salt', False),
+        use_motion_blur=ds_cfg.get('use_motion_blur', False),
+        use_invert=ds_cfg.get('use_invert', False),
+        train=train,
+    )
+
+
+def get_evaluator(cfg) -> Evaluator:
+    ds = cfg.test_dataset
+    return Evaluator(list(ds.list_files), ds.dataset_root, ds.get('name'),
+                     eval_model_dir=ds.get('eval_model_dir'),
+                     obj_ids=cfg.get('obj_ids'),
+                     use_eval_model=ds.get('use_eval_model', True),
+                     visib_fract_th=ds.visib_frac)
+
+
+def run_test(cfg, model, variables, loader, dataset, evaluator,
+             score_key: str = 'add(-s)_0.10', seed: int = 0) -> dict:
+    """Full inference + evaluation pass (reference test.py:151-186)."""
+    solver_cfg = cfg.pnp_solver
+    bit_cnt = dataset.bit_cnt
+    black_bg = cfg.get('black_background', False)
+    pp_kwargs = preprocess_kwargs(cfg, dataset, train=False)
+    sparse = cfg.get('sparse_cnt', 0) > 3
+    key = jax.random.PRNGKey(seed)
+
+    apply_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    results: dict[str, list] = {}
+    for batch in loader:
+        key, k_solve = jax.random.split(key)
+        gt = device_preprocess({k: jnp.asarray(v) for k, v in batch.items()},
+                               key, **pp_kwargs)
+        out = apply_fn(variables, gt['img_in'])
+        rel = solver_cfg.get('rel_reproj_err', False)
+        # relative threshold = 2 px at full-image scale (reference test.py:57,115-117)
+        thr = jnp.asarray(2.0 / np.asarray(batch['out_pix_scale']),
+                          jnp.float32) if rel else None
+        if sparse:
+            states = inference.solve_pnp_sparse(
+                out, gt, k_solve, solvers=tuple(solver_cfg.solvers),
+                reproj_err=thr)
+        else:
+            states = inference.solve_pnp_dense(
+                out, gt, k_solve, bit_cnt=bit_cnt, black_background=black_bg,
+                sample=solver_cfg.get('dense_sample', 2),
+                point_select=solver_cfg.get('dense_point_select', 'quantile'),
+                quantile=solver_cfg.get('quantile', 0.3),
+                seg_thresh=solver_cfg.get('seg_thresh', 0.5),
+                solvers=tuple(solver_cfg.solvers), reproj_err=thr)
+
+        im_ids = batch['im_id'].tolist()
+        scene_ids = batch['scene_id'].tolist()
+        obj_ids = batch['obj_id'].tolist()
+        for name, pose7 in states.items():
+            R, t = pose7_to_RT(pose7)
+            R = np.asarray(R)
+            t = np.asarray(t)
+            lst = results.setdefault(name, [])
+            for i in range(len(im_ids)):
+                lst.append(dict(obj_id=obj_ids[i], im_id=im_ids[i],
+                                scene_id=scene_ids[i], R_est=R[i], t_est=t[i]))
+
+    outputs = {}
+    for name, res in results.items():
+        per_obj, errors = evaluator.evaluate(res)
+        tables = gen_score_table(per_obj, dataset_name=evaluator.dataset_name)
+        avg = sum(d[score_key] for d in per_obj.values()) / max(len(per_obj), 1)
+        outputs[name] = dict(avg_score=avg, per_obj_score=per_obj,
+                             errors=errors, tables=tables)
+        logger.info('solver %s: %s = %.4f', name, score_key, avg)
+    return outputs

@@ -16,4 +16,7 @@ from .surrogate import (
     seg_l1_loss,
     sparse_kpt_nll_loss,
 )
-from .loss_fn import LossConfig, LossState, compute_losses, init_loss_state
+from .loss_fn import (LossConfig, LossState, compute_losses, init_loss_state,
+                      finalize_loss_state, zero_taps)
+from .targets import (nn_out_to_xyz, xyz_to_nn_target, select_best_pose,
+                      annots_on_the_fly)

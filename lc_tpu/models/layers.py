@@ -1,0 +1,83 @@
+"""Shared NN building blocks (Flax linen, NHWC)."""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# torch-parity defaults: BN eps 1e-5, momentum 0.1 (flax momentum = 1 - torch = 0.9)
+BatchNorm = functools.partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
+
+conv_init = nn.initializers.normal(stddev=0.001)  # reference mmcv normal_init std=.001
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    use_relu: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        pad = self.dilation * (self.kernel // 2)
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=((pad, pad), (pad, pad)),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=False, kernel_init=conv_init, name='conv')(x)
+        x = BatchNorm(use_running_average=not train, name='bn')(x)
+        return nn.relu(x) if self.use_relu else x
+
+
+@functools.lru_cache(maxsize=32)
+def _bilinear_matrix_np(n_in: int, n_out: int) -> np.ndarray:
+    """Align-corners bilinear interpolation matrix (n_out, n_in).
+
+    torch nn.UpsamplingBilinear2d uses align_corners=True; jax.image.resize does not
+    offer it, so we materialize the (tiny, static) interpolation matrix and apply it
+    as a matmul — which also lands on the MXU instead of a gather.
+    """
+    if n_in == 1:
+        return np.ones((n_out, 1), np.float32)
+    coords = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    lo = np.floor(coords).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (coords - lo).astype(np.float32)
+    m = np.zeros((n_out, n_in), np.float32)
+    m[np.arange(n_out), lo] += 1.0 - frac
+    m[np.arange(n_out), hi] += frac
+    return m
+
+
+def upsample_bilinear_align_corners(x: jax.Array, factor: int = 2) -> jax.Array:
+    """NHWC bilinear upsample with align_corners=True (torch UpsamplingBilinear2d)."""
+    B, H, W, C = x.shape
+    mh = jnp.asarray(_bilinear_matrix_np(H, H * factor))
+    mw = jnp.asarray(_bilinear_matrix_np(W, W * factor))
+    x = jnp.einsum('oh,bhwc->bowc', mh, x)
+    return jnp.einsum('ow,bhwc->bhoc', mw, x)
+
+
+class ConvTransposeBNReLU(nn.Module):
+    """ConvTranspose(k3, s2) + BN + ReLU producing exact 2x upsampling.
+
+    Equivalent to torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1); the flax
+    'SAME' transposed conv with stride 2 / kernel 3 yields the same geometry.
+    """
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2), padding='SAME',
+                             use_bias=False, kernel_init=conv_init, name='deconv')(x)
+        x = BatchNorm(use_running_average=not train, name='bn')(x)
+        return nn.relu(x)
+
+
+def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
+    """torch MaxPool2d(kernel=3, stride=2, padding=1) in NHWC."""
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -1,0 +1,107 @@
+"""ResNet-34 backbones (Flax linen, NHWC).
+
+Two variants used by the pipeline (reference model/cdpn_resnet.py:20-64 and
+model/zebra_resnet.py:171-255):
+  * ResNetBackbone — the CDPN/GDR-Net encoder: standard resnet34 strides, exposes
+    all intermediate feature maps for skip connections;
+  * ZebraResNetOS8 — ZebraPose encoder: pretrained conv1..layer2 (stride 8), then
+    freshly-initialized dilated stages (dilation 2 and 4, stride 1) so the output
+    stays at 1/8 resolution.
+
+Submodule names mirror the torch module paths so torch-weight porting is a pure
+key-rewrite (see torch_port.py).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+from flax import linen as nn
+
+from .layers import BatchNorm, conv_init, max_pool_3x3_s2
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        pad = self.dilation
+        out = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                      padding=((pad, pad), (pad, pad)),
+                      kernel_dilation=(self.dilation, self.dilation),
+                      use_bias=False, kernel_init=conv_init, name='conv1')(x)
+        out = BatchNorm(use_running_average=not train, name='bn1')(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.filters, (3, 3), padding=((pad, pad), (pad, pad)),
+                      kernel_dilation=(self.dilation, self.dilation),
+                      use_bias=False, kernel_init=conv_init, name='conv2')(out)
+        out = BatchNorm(use_running_average=not train, name='bn2')(out)
+
+        if self.stride != 1 or x.shape[-1] != self.filters:
+            sc = nn.Conv(self.filters, (1, 1), strides=(self.stride, self.stride),
+                         use_bias=False, kernel_init=conv_init,
+                         name='downsample_conv')(x)
+            sc = BatchNorm(use_running_average=not train, name='downsample_bn')(sc)
+        else:
+            sc = x
+        return nn.relu(out + sc)
+
+
+class ResLayer(nn.Module):
+    filters: int
+    num_blocks: int
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i in range(self.num_blocks):
+            x = BasicBlock(self.filters, stride=self.stride if i == 0 else 1,
+                           dilation=self.dilation, name=f'block{i}')(x, train)
+        return x
+
+
+class ResNetStem(nn.Module):
+    """conv7x7/s2 + BN + ReLU (the part before maxpool)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, kernel_init=conv_init, name='conv1')(x)
+        x = BatchNorm(use_running_average=not train, name='bn1')(x)
+        return nn.relu(x)
+
+
+class ResNetBackbone(nn.Module):
+    """resnet34 encoder for CDPN: 256² -> (8²·512, 64²·64, 32²·128, 16²·256)."""
+    layers: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = ResNetStem(name='stem')(x, train)          # /2, 64
+        x = max_pool_3x3_s2(x)                         # /4
+        f64 = ResLayer(64, self.layers[0], name='layer1')(x, train)      # /4, 64
+        f32 = ResLayer(128, self.layers[1], stride=2, name='layer2')(f64, train)
+        f16 = ResLayer(256, self.layers[2], stride=2, name='layer3')(f32, train)
+        high = ResLayer(512, self.layers[3], stride=2, name='layer4')(f16, train)
+        return high, f64, f32, f16
+
+
+class ZebraResNetOS8(nn.Module):
+    """ZebraPose resnet34-OS8: 256² -> (32²·512 high, 128²·64, 64²·64, 32²·128, 32²·256).
+
+    Stage names keep the reference's (misleading) x_16 for the dilated layer4 output —
+    it is at 1/8 resolution (reference zebra_resnet.py:234-247).
+    """
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x_128 = ResNetStem(name='stem')(x, train)                       # /2, 64
+        x_64 = ResLayer(64, 3, name='layer1')(max_pool_3x3_s2(x_128), train)  # /4
+        x_32 = ResLayer(128, 4, stride=2, name='layer2')(x_64, train)   # /8
+        x_16 = ResLayer(256, 6, dilation=2, name='layer4')(x_32, train)  # /8 dilated
+        high = ResLayer(512, 3, dilation=4, name='layer5')(x_16, train)  # /8 dilated
+        return high, x_128, x_64, x_32, x_16

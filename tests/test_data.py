@@ -1,0 +1,158 @@
+import os.path as osp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lc_tpu import data, geom
+from lc_tpu.data import rle, synthetic, pipeline
+from lc_tpu.utils.config import Config
+
+RNG = np.random.default_rng(11)
+
+
+class TestRLE:
+    def test_roundtrip_random(self):
+        for _ in range(5):
+            m = (RNG.random((37, 53)) > 0.6).astype(np.uint8)
+            r = rle.encode(m)
+            np.testing.assert_array_equal(rle.decode(r), m)
+
+    def test_all_zero_and_one(self):
+        z = np.zeros((8, 8), np.uint8)
+        o = np.ones((8, 8), np.uint8)
+        np.testing.assert_array_equal(rle.decode(rle.encode(z)), z)
+        np.testing.assert_array_equal(rle.decode(rle.encode(o)), o)
+
+    def test_area(self):
+        m = np.zeros((10, 10), np.uint8)
+        m[2:5, 3:7] = 1
+        assert rle.area(rle.encode(m)) == 12
+
+    @pytest.mark.skipif(True, reason="pycocotools not installed in this image")
+    def test_vs_pycocotools(self):
+        pass
+
+
+class TestCrop:
+    def test_warp_matches_cv2(self):
+        import cv2
+        img = RNG.uniform(0, 255, (64, 80, 3)).astype(np.float32)
+        aff = geom.crop_affine(np.array([40.0, 30.0]), 48.0, 0.35, (32, 32))
+        ours = np.asarray(data.affine_warp(jnp.asarray(img),
+                                           jnp.asarray(aff), (32, 32)))
+        cv = cv2.warpAffine(img, aff.astype(np.float32), (32, 32),
+                            flags=cv2.INTER_LINEAR)
+        # identical except at border pixels where cv2 clamps; compare interior
+        np.testing.assert_allclose(ours[2:-2, 2:-2], cv[2:-2, 2:-2], atol=1.0)
+
+    def test_nearest(self):
+        import cv2
+        img = (RNG.random((40, 40, 1)) > 0.5).astype(np.float32)
+        aff = geom.crop_affine(np.array([20.0, 20.0]), 30.0, 0.0, (16, 16))
+        ours = np.asarray(data.affine_warp(jnp.asarray(img), jnp.asarray(aff),
+                                           (16, 16), 'nearest'))[..., 0]
+        cv = cv2.warpAffine(img[..., 0], aff.astype(np.float32), (16, 16),
+                            flags=cv2.INTER_NEAREST)
+        assert (ours != cv).mean() < 0.05  # rounding ties may differ on a few px
+
+
+@pytest.fixture(scope='module')
+def syn_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('bop_syn'))
+    synthetic.generate_dataset(root, n_images=10, split='train_syn', seed=0)
+    synthetic.generate_dataset(root, n_images=6, split='test_syn', seed=1,
+                               list_name='test_list.txt')
+    return root
+
+
+def make_cfgs(root, train_list='train_syn_list.txt', **glb):
+    cfg_ds = Config(dict(
+        name='synthetic', dataset_root=root,
+        list_files=[osp.join(root, train_list)],
+        visib_frac=0.1, dzi_scale_ratio=0.25, dzi_shift_ratio=0.25,
+        dzi_pad_scale=1.5, rotate_prob=0.5, switch_bg_prob=0.0,
+        pixel_aug_prob=0.8,
+    ))
+    cfg_g = Config(dict(obj_ids=[1], cache_dir='',
+                        net_input_wh=[64, 64], net_output_wh=[16, 16], **glb))
+    return cfg_ds, cfg_g
+
+
+class TestSynthetic:
+    def test_raycast_geometry(self):
+        from scipy.spatial.transform import Rotation as sciR
+        K = synthetic.K_DEFAULT
+        R = sciR.random(random_state=0).as_matrix()
+        t = np.array([0, 0, 600.0])
+        he = np.array([40.0, 30.0, 20.0])
+        depth, mask, rgb = synthetic.raycast_box(K, R, t, he)
+        assert mask.sum() > 500
+        # backproject the hit pixels: they must lie on the box surface
+        ys, xs = np.nonzero(mask)
+        z = depth[ys, xs]
+        pts_cam = np.stack(((xs + 0.5), (ys + 0.5), np.ones_like(xs)), -1) \
+            * z[:, None]
+        pts_cam = pts_cam @ np.linalg.inv(K).T
+        pts_m = (pts_cam - t) @ R
+        rel = np.abs(pts_m) / he
+        np.testing.assert_allclose(rel.max(axis=-1), 1.0, atol=1e-3)
+
+    def test_dataset_loads(self, syn_root):
+        cfg_ds, cfg_g = make_cfgs(syn_root)
+        ds = pipeline.BOPDataset(cfg_ds, cfg_g, train=True)
+        assert len(ds) == 10
+        blob = ds.sample(0, np.random.default_rng(0))
+        assert blob['rgb_full'].shape == (480, 640, 3)
+        assert blob['Rt_candi'].shape == (1, 3, 4)
+        assert blob['sym_ck_pts2d'].shape == (256, 2)
+        assert blob['homo_z_out'].shape == (16, 16, 3)
+
+    def test_loader_and_device_preprocess(self, syn_root):
+        cfg_ds, cfg_g = make_cfgs(syn_root)
+        ds = pipeline.BOPDataset(cfg_ds, cfg_g, train=True)
+        loader = pipeline.Loader(ds, batch_size=4, num_threads=2)
+        batch = next(iter(loader))
+        assert batch['rgb_full'].shape == (4, 480, 640, 3)
+        gt = pipeline.device_preprocess(
+            {k: jnp.asarray(v) for k, v in batch.items()},
+            jax.random.PRNGKey(0), net_input_wh=(64, 64),
+            net_output_wh=(16, 16), train=True)
+        assert gt['img_in'].shape == (4, 64, 64, 3)
+        assert gt['msk_vis'].shape == (4, 16, 16)
+        assert float(jnp.sum(gt['msk_noc'])) > 0
+
+    def test_homo_z_backprojection_consistency(self, syn_root):
+        """xyz from homo_z with the GT pose must land on the box surface."""
+        from lc_tpu.loss import annots_on_the_fly
+        cfg_ds, cfg_g = make_cfgs(syn_root)
+        ds = pipeline.BOPDataset(cfg_ds, cfg_g, train=True)
+        loader = pipeline.Loader(ds, batch_size=4, num_threads=1, shuffle=False)
+        batch = next(iter(loader))
+        gt = pipeline.device_preprocess(
+            {k: jnp.asarray(v) for k, v in batch.items()},
+            jax.random.PRNGKey(0), net_input_wh=(64, 64),
+            net_output_wh=(16, 16), train=True)
+        out = {'xyz_noc': jnp.zeros((4, 16, 16, 3))}
+        ann = annots_on_the_fly(gt, out, step=0)
+        xyz = np.asarray(ann['xyz_gt'])
+        msk = np.asarray(gt['msk_noc']) > 0.5
+        he = np.array([40.0, 30.0, 20.0])
+        sel = xyz[msk]
+        assert len(sel) > 50
+        rel = (np.abs(sel) / he).max(axis=-1)
+        # quantized depth + nearest warp: tolerate a few percent
+        assert np.quantile(np.abs(rel - 1.0), 0.9) < 0.05
+
+    def test_eval_mode_dataset(self, syn_root):
+        cfg_ds, cfg_g = make_cfgs(syn_root, )
+        cfg_ds.list_files = [osp.join(syn_root, 'test_list.txt')]
+        ds = pipeline.BOPDataset(cfg_ds, cfg_g, train=False)
+        blob = ds.sample(0, np.random.default_rng(0))
+        assert 'homo_z_out' not in blob
+        gt = pipeline.device_preprocess(
+            {k: jnp.asarray(v)[None] for k, v in blob.items()},
+            jax.random.PRNGKey(0), net_input_wh=(64, 64),
+            net_output_wh=(16, 16), train=False)
+        assert gt['img_in'].shape == (1, 64, 64, 3)
