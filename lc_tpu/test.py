@@ -1,0 +1,88 @@
+"""Evaluation entry point. CLI mirrors reference test.py:210-268:
+
+    python -m lc_tpu.test --weight ckpt --config configs/glmo.yaml \
+        --output out --obj 1 [--opts ...] [--deterministic]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import os.path as osp
+
+import jax
+
+from . import harness
+from .utils.checkpoint import load_state
+from .utils.config import load_config
+from .utils.logging import setup_logger
+from .eval.evaluator import csv_from_results
+
+logger = logging.getLogger(__name__)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--weight', type=str, required=True)
+    parser.add_argument('--config', type=str, required=True)
+    parser.add_argument('--output', type=str, required=True)
+    parser.add_argument('--obj', type=int, nargs='+', required=True)
+    parser.add_argument('--opts', nargs='+')
+    parser.add_argument('--deterministic', action='store_true')
+    args = parser.parse_args(argv)
+
+    if not osp.exists(args.weight):
+        raise SystemExit(f'weight file "{args.weight}" not found.')
+
+    cfg_name = osp.splitext(osp.split(args.config)[1])[0]
+    cfg = load_config(args.config, args.opts)
+    cfg.obj_ids = args.obj
+
+    os.makedirs(args.output, exist_ok=True)
+    log_name = '_'.join([cfg_name, cfg.train_dataset.name, 'test',
+                         ','.join(map(str, cfg.obj_ids)) + '.log'])
+    setup_logger(osp.join(args.output, log_name))
+
+    evaluator = harness.get_evaluator(cfg)
+    test_set, test_loader = harness.make_datasets(cfg, train=False)
+    bit_cnt = test_set.bit_cnt
+    total_bits = 0 if bit_cnt is None else sum(bit_cnt)
+    model = harness.build_model_from_cfg(cfg, total_bits)
+
+    # template init to know the pytree structure, then load the weights
+    import jax.numpy as jnp
+    in_w, in_h = test_set.net_input_wh
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, in_h, in_w, 3)), train=False)
+    from .parallel.train_step import TrainState
+    try:  # full TrainState checkpoint from lc_tpu.train
+        from .optim.factory import build_optimizer
+        tx = build_optimizer(cfg.optimizer, cfg.scheduler, 1)
+        from .parallel.train_step import create_train_state
+        from .harness import make_loss_config
+        tmpl = create_train_state(
+            model, tx, jax.random.PRNGKey(0), jnp.zeros((1, in_h, in_w, 3)),
+            make_loss_config(cfg, 1, bit_cnt))
+        state, _ = load_state(args.weight, tmpl)
+        variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    except Exception:  # plain {'params','batch_stats'} export
+        variables, _ = load_state(args.weight, variables)
+
+    results = harness.run_test(cfg, model, variables, test_loader, test_set,
+                               evaluator, seed=0 if args.deterministic else 1)
+
+    table = ''
+    for name, res in results.items():
+        table += '\n' + name + '\n' + res['tables'][0] + '\n'
+    logger.info(table)
+
+    for name, text in csv_from_results(results).items():
+        csv_name = '_'.join([f'{cfg_name}-{name}', cfg.train_dataset.name,
+                             'test', ','.join(map(str, cfg.obj_ids)) + '.csv'])
+        with open(osp.join(args.output, csv_name), 'w') as f:
+            f.write(text)
+    return results
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,168 @@
+"""Training entry point. CLI mirrors reference train.py:153-179:
+
+    python -m lc_tpu.train --config configs/glmo.yaml --output out [--obj 1]
+        [--name exp] [--ckpt path] [--resume] [--opts a.b=c ...]
+
+Epoch-based (cfg.train.num_epochs) or step-based (cfg.train.num_steps) loops with
+periodic in-training evaluation and best-checkpoint selection on add(-s)_0.10.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import os.path as osp
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import harness
+from .data.pipeline import device_preprocess
+from .optim.factory import build_optimizer
+from .parallel.train_step import create_train_state, make_train_step
+from .utils.checkpoint import Checkpoint
+from .utils.config import load_config
+from .utils.logging import setup_logger
+
+logger = logging.getLogger(__name__)
+
+
+def build_training(cfg, seed: int = 42):
+    """Wire everything; returns a dict of components."""
+    train_set, train_loader = harness.make_datasets(cfg, train=True, seed=seed)
+    test_set, test_loader = harness.make_datasets(cfg, train=False, seed=seed)
+    evaluator = harness.get_evaluator(cfg)
+
+    bit_cnt = train_set.bit_cnt
+    total_bits = 0 if bit_cnt is None else sum(bit_cnt)
+    model = harness.build_model_from_cfg(cfg, total_bits)
+
+    if cfg.train.get('num_steps'):
+        num_steps = cfg.train.num_steps
+        steps_per_epoch = 0
+    else:
+        steps_per_epoch = len(train_loader)
+        num_steps = cfg.train.num_epochs * steps_per_epoch
+
+    loss_cfg = harness.make_loss_config(cfg, steps_per_epoch, bit_cnt)
+    tx = build_optimizer(cfg.optimizer, cfg.scheduler, num_steps)
+
+    in_w, in_h = train_set.net_input_wh
+    sample = jnp.zeros((1, in_h, in_w, 3), jnp.float32)
+    state = create_train_state(model, tx, jax.random.PRNGKey(seed), sample,
+                               loss_cfg)
+    step_fn = make_train_step(model, tx, loss_cfg,
+                              sym_aware_start=cfg.get('sym_aware_start', 0))
+    pp_kwargs = harness.preprocess_kwargs(cfg, train_set, train=True)
+    return dict(model=model, state=state, step_fn=step_fn, tx=tx,
+                loss_cfg=loss_cfg, train_set=train_set,
+                train_loader=train_loader, test_set=test_set,
+                test_loader=test_loader, evaluator=evaluator,
+                pp_kwargs=pp_kwargs, num_steps=num_steps,
+                steps_per_epoch=steps_per_epoch, bit_cnt=bit_cnt)
+
+
+def eval_variables(state):
+    return {'params': state.params, 'batch_stats': state.batch_stats}
+
+
+def train(args, cfg, outdir: str):
+    import tensorboardX
+    comps = build_training(cfg)
+    model, state, step_fn = comps['model'], comps['state'], comps['step_fn']
+    num_steps = comps['num_steps']
+    pp_kwargs = comps['pp_kwargs']
+
+    writer = tensorboardX.SummaryWriter(outdir)
+    ckpter = Checkpoint.by_step(
+        osp.join(outdir, 'ckpts'),
+        resume_period=cfg.train.get('ckpt_every',
+                                    comps['steps_per_epoch'] or 5000))
+    start_step = 0
+    if args.resume or args.ckpt:
+        state, aux = ckpter.resume(state, ckpt_path=args.ckpt)
+        start_step = int(aux.get('step', 0))
+        logger.info('resumed from step %d', start_step)
+    if start_step >= num_steps:
+        return state
+
+    key = jax.random.PRNGKey(1234)
+    test_every = cfg.train.get('test_every', 0)
+    test_start = cfg.train.get('test_start', 0)
+    # test cadence is per-epoch for epoch mode, per-step for step mode
+    per_epoch = bool(cfg.train.get('num_epochs'))
+    test_every_steps = (test_every * comps['steps_per_epoch']
+                        if per_epoch else test_every)
+
+    step = start_step
+    t0 = time.time()
+    data_iter = iter(comps['train_loader'])
+    while step < num_steps:
+        try:
+            batch = next(data_iter)
+        except StopIteration:
+            data_iter = iter(comps['train_loader'])
+            batch = next(data_iter)
+
+        key, k_pp, k_step = jax.random.split(key, 3)
+        gt = device_preprocess({k: jnp.asarray(v) for k, v in batch.items()},
+                               k_pp, **pp_kwargs)
+        state, metrics = step_fn(state, gt, k_step)
+        step += 1
+
+        if step % 20 == 0 or step == 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            rate = 20 * len(batch['out_K']) / max(time.time() - t0, 1e-9)
+            t0 = time.time()
+            logger.info('step %d/%d  %s  (%.1f crops/s)', step, num_steps,
+                        ' '.join(f'{k}={v:.4f}' for k, v in m.items()), rate)
+            for k, v in m.items():
+                writer.add_scalar(f'loss/{k}', v, step)
+
+        score = -1.0
+        if test_every_steps and step % test_every_steps == 0 \
+                and step >= test_start and step != num_steps:
+            res = harness.run_test(cfg, model, eval_variables(state),
+                                   comps['test_loader'], comps['test_set'],
+                                   comps['evaluator'])
+            score = next(iter(res.values()))['avg_score']
+            writer.add_scalar('eval/score', score, step)
+        ckpter.step(state, step=step, score=score)
+
+    ckpter.save(state, step=step, score=-1.0)
+    ckpter.finish(state, osp.join(outdir, 'model_final.ckpt'),
+                  osp.join(outdir, 'model_best'))
+    return state
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--config', type=str, default='configs/glmo.yaml')
+    parser.add_argument('--output', type=str, default='output')
+    parser.add_argument('--name', type=str)
+    parser.add_argument('--obj', type=int, nargs='+')
+    parser.add_argument('--ckpt', type=str)
+    parser.add_argument('--resume', action='store_true')
+    parser.add_argument('--opts', nargs='+')
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config, args.opts)
+    if args.name:
+        cfg['exp_name'] = args.name
+    if args.obj is not None:
+        cfg.obj_ids = args.obj
+
+    outdir = osp.join(args.output, cfg.exp_name) + '-' + \
+        '_'.join(map(str, cfg.obj_ids))
+    os.makedirs(outdir, exist_ok=True)
+    setup_logger(outdir)
+
+    assert bool(cfg.train.get('num_epochs')) != bool(cfg.train.get('num_steps'))
+    np.random.seed(42)
+    train(args, cfg, outdir)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,160 @@
+import os.path as osp
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation as sciR
+
+from lc_tpu import eval as ev
+from lc_tpu.data import synthetic
+from lc_tpu.data.mesh import load_ply_mesh, rasterize_depth
+from lc_tpu.utils.checkpoint import Checkpoint
+
+
+class TestError6d:
+    def _poses(self):
+        R_gt = sciR.random(4, random_state=0).as_matrix().astype(np.float32)
+        t_gt = np.tile([0, 0, 500.0], (4, 1)).astype(np.float32)
+        return R_gt, t_gt
+
+    def test_add_zero_for_identical(self):
+        R, t = self._poses()
+        pts = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32) * 30
+        errs = ev.batched_pose_errors(R, t, R, t, pts)
+        np.testing.assert_allclose(errs['add'], 0, atol=1e-3)
+        np.testing.assert_allclose(errs['adi'], 0, atol=1e-3)
+        np.testing.assert_allclose(errs['re'], 0, atol=0.1)
+        np.testing.assert_allclose(errs['te'], 0, atol=1e-3)
+
+    def test_te_translation_offset(self):
+        R, t = self._poses()
+        t2 = t + [3.0, 4.0, 0.0]
+        pts = np.zeros((10, 3), np.float32)
+        errs = ev.batched_pose_errors(R, t2, R, t, pts)
+        np.testing.assert_allclose(errs['te'], 5.0, rtol=1e-4)
+        np.testing.assert_allclose(errs['add'], 5.0, rtol=1e-4)
+
+    def test_adi_symmetric_invariance(self):
+        """ADI of a symmetric point set under its symmetry rotation is ~0 while
+        ADD is large."""
+        R = np.eye(3, dtype=np.float32)[None]
+        t = np.array([[0, 0, 500.0]], np.float32)
+        ang = np.pi
+        R2 = sciR.from_rotvec([0, 0, ang]).as_matrix().astype(np.float32)[None]
+        # ring of points in the xy plane: invariant under 180° z-rotation
+        th = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+        pts = np.stack((np.cos(th), np.sin(th), np.zeros_like(th)),
+                       -1).astype(np.float32) * 30
+        errs = ev.batched_pose_errors(R2, t, R, t, pts)
+        assert errs['adi'][0] < 0.1
+        assert errs['add'][0] > 10.0
+
+    def test_re_degrees(self):
+        R1 = np.eye(3, dtype=np.float32)[None]
+        R2 = sciR.from_rotvec([0, np.deg2rad(30), 0]).as_matrix() \
+            .astype(np.float32)[None]
+        t = np.zeros((1, 3), np.float32)
+        errs = ev.batched_pose_errors(R2, t, R1, t, np.zeros((4, 3), np.float32))
+        np.testing.assert_allclose(errs['re'], 30.0, rtol=1e-3)
+
+
+class TestAUC:
+    def test_posecnn_auc_extremes(self):
+        assert ev.compute_auc_posecnn(np.full(100, 1.0)) > 0.97  # 1 mm, ~perfect
+        assert ev.compute_auc_posecnn(np.full(100, 1e6)) != ev.compute_auc_posecnn(
+            np.full(100, 1.0))
+
+    def test_score_table(self):
+        table, _ = ev.gen_score_table(
+            {1: {'add(-s)_0.10': 0.5, 'add_0.10': 0.4}}, dataset_name='lmo')
+        assert 'ape' in table and '50.00' in table
+
+
+class TestEvaluatorEndToEnd:
+    def test_synthetic_gt_scores_one(self, tmp_path):
+        root = str(tmp_path)
+        flist = synthetic.generate_dataset(root, n_images=5, split='test_syn',
+                                           seed=3, list_name='l.txt')
+        evaluator = ev.Evaluator([flist], root, 'synthetic', obj_ids=[1],
+                                 visib_fract_th=0)
+        # feed GT poses as estimates: score must be 1.0
+        results = []
+        for g in evaluator.gts:
+            results.append(dict(scene_id=g['scene_id'], im_id=g['im_id'],
+                                obj_id=g['obj_id'], R_est=g['R_gt'],
+                                t_est=g['t_gt']))
+        per_obj, errors = evaluator.evaluate(results)
+        assert per_obj[1]['add(-s)_0.10'] == 1.0
+        # unmatched results count as misses
+        per_obj2, _ = evaluator.evaluate(results[:2])
+        assert per_obj2[1]['add(-s)_0.10'] == pytest.approx(2 / 5)
+
+
+class TestMeshRasterizer:
+    def test_box_mesh_depth_matches_raycast(self, tmp_path):
+        # build a box mesh (12 triangles), rasterize, compare with analytic raycast
+        he = np.array([40.0, 30.0, 20.0], np.float32)
+        corners = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                            for sz in (-1, 1)], np.float32) * he
+        faces = []
+        quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1), (2, 3, 7, 6),
+                 (0, 2, 6, 4), (1, 5, 7, 3)]
+        for a, b, c, d in quads:
+            faces += [(a, b, c), (a, c, d)]
+        faces = np.asarray(faces, np.int64)
+
+        K = synthetic.K_DEFAULT.astype(np.float64)
+        R = sciR.random(random_state=1).as_matrix()
+        t = np.array([0, 0, 700.0])
+        depth = rasterize_depth(corners, faces, K, R, t)
+        ref_depth, ref_mask, _ = synthetic.raycast_box(K, R, t, he)
+        mask = depth > 0
+        inter = mask & ref_mask
+        assert inter.sum() > 0.95 * max(mask.sum(), ref_mask.sum())
+        diff = np.abs(depth[inter] - ref_depth[inter])
+        assert np.quantile(diff, 0.95) < 1.0  # < 1 mm on 95% of pixels
+
+    def test_ply_roundtrip_ascii(self, tmp_path):
+        he = np.array([10.0, 10.0, 10.0])
+        verts = synthetic.box_surface_points(he)
+        p = str(tmp_path / 'm.ply')
+        synthetic._write_ply_ascii(p, verts)
+        v2, f2 = load_ply_mesh(p)
+        np.testing.assert_allclose(v2, verts, atol=1e-3)
+        v3 = ev.load_ply_vertices(p)
+        np.testing.assert_allclose(v3, verts, atol=1e-3)
+
+
+class TestCheckpoint:
+    def test_rotation_and_best(self, tmp_path):
+        ck = Checkpoint(str(tmp_path / 'ck'), latest_keep=2, best_keep=2)
+        state = {'w': np.arange(4.0)}
+        for step, score in ((1, -1), (2, 0.3), (3, -1), (4, 0.5), (5, 0.2)):
+            ck.save({'w': np.arange(4.0) + step}, step=step, score=score)
+        latest = ck.list_ckpts()
+        assert len(latest) == 2 and latest[0].startswith('000000005')
+        best = sorted((tmp_path / 'ck' / 'best').iterdir())
+        assert len(best) == 2
+        st, aux = ck.resume(state)
+        assert aux['step'] == 5
+        np.testing.assert_allclose(st['w'], np.arange(4.0) + 5)
+
+    def test_resume_skips_corrupt(self, tmp_path):
+        ck = Checkpoint(str(tmp_path / 'ck'), latest_keep=3)
+        ck.save({'w': np.ones(2)}, step=1)
+        ck.save({'w': np.full(2, 2.0)}, step=2)
+        # corrupt the newest
+        with open(tmp_path / 'ck' / '000000002.ckpt', 'wb') as f:
+            f.write(b'garbage')
+        st, aux = ck.resume({'w': np.zeros(2)})
+        assert aux['step'] == 1
+        np.testing.assert_allclose(st['w'], 1.0)
+
+    def test_finish_exports(self, tmp_path):
+        ck = Checkpoint(str(tmp_path / 'ck'))
+        ck.save({'w': np.ones(2)}, step=10, score=0.9)
+        ck.finish({'w': np.ones(2)}, str(tmp_path / 'final.ckpt'),
+                  str(tmp_path / 'best'))
+        assert (tmp_path / 'final.ckpt').exists()
+        assert any(p.name.startswith('best_10_') for p in tmp_path.iterdir())
+        assert ck.list_ckpts() == []

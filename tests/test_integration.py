@@ -1,0 +1,98 @@
+"""End-to-end: synthetic BOP dataset -> train steps -> inference -> evaluation.
+
+Exercises the full slice the reference exercises via train.py/test.py: data
+pipeline, model, on-the-fly targets, LC loss, optimizer, PnP solving, ADD scoring,
+checkpoint save/resume.
+"""
+import os.path as osp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lc_tpu import harness
+from lc_tpu.data import synthetic
+from lc_tpu.data.pipeline import device_preprocess
+from lc_tpu.utils.config import Config
+from lc_tpu.utils.checkpoint import Checkpoint
+
+
+@pytest.fixture(scope='module')
+def syn_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('bop_e2e'))
+    synthetic.generate_dataset(root, n_images=12, split='train_syn', seed=0)
+    synthetic.generate_dataset(root, n_images=6, split='test_syn', seed=5,
+                               list_name='test_list.txt')
+    return root
+
+
+def make_cfg(root, **overrides):
+    cfg = Config(dict(
+        exp_name='syn', obj_ids=[1], cache_dir='', sym_aware=False,
+        net_input_wh=[64, 64], net_output_wh=[16, 16],
+        dataloader=dict(batch_size=4, num_workers=2),
+        train=dict(num_steps=3, test_every=0, ckpt_every=100),
+        optimizer=dict(type='adam', lr=2e-4, wd=0.0),
+        scheduler=dict(name='none'),
+        pnp_solver=dict(dense_point_select='quantile', quantile=0.3,
+                        solvers=['weighted']),
+        train_dataset=dict(
+            name='synthetic', dataset_root=root,
+            list_files=[osp.join(root, 'train_syn_list.txt')],
+            visib_frac=0.1, pixel_aug_prob=0.8, rotate_prob=0.5,
+            switch_bg_prob=0.0, dzi_scale_ratio=0.25, dzi_shift_ratio=0.25,
+            dzi_pad_scale=1.5),
+        test_dataset=dict(
+            name='synthetic', dataset_root=root,
+            list_files=[osp.join(root, 'test_list.txt')],
+            visib_frac=0.0, dzi_pad_scale=1.5),
+        model=dict(net_name='cdpn_resnet', net_config=dict(concat=False)),
+        loss=dict(pose_loss_cfg=dict(clip_weight_grad=True),
+                  pose_loss_start_step=1, pose_loss_start_epoch=0,
+                  w_loss_pose=0.02, w_loss_seg=0.25, w_loss_noc=1.0),
+    ))
+    cfg.merge_from_dict(overrides)
+    return cfg
+
+
+class TestEndToEnd:
+    def test_train_steps_and_eval(self, syn_root, tmp_path):
+        cfg = make_cfg(syn_root)
+        from lc_tpu.train import build_training, eval_variables
+        comps = build_training(cfg, seed=0)
+        state = comps['state']
+        key = jax.random.PRNGKey(0)
+        it = iter(comps['train_loader'])
+        losses = []
+        for _ in range(3):
+            batch = next(it)
+            key, k_pp, k_step = jax.random.split(key, 3)
+            gt = device_preprocess(
+                {k: jnp.asarray(v) for k, v in batch.items()}, k_pp,
+                **comps['pp_kwargs'])
+            state, metrics = comps['step_fn'](state, gt, k_step)
+            total = sum(float(v) for k, v in metrics.items()
+                        if k.startswith('loss'))
+            assert np.isfinite(total), metrics
+            losses.append({k: float(v) for k, v in metrics.items()})
+        assert int(state.step) == 3
+        # grad-clip EMA threshold got seeded
+        assert float(state.loss_state.weight_clip.max_norm) > 0
+
+        # inference + evaluation completes and returns the score dict
+        res = harness.run_test(cfg, comps['model'], eval_variables(state),
+                               comps['test_loader'], comps['test_set'],
+                               comps['evaluator'])
+        assert 'weighted' in res
+        assert 'add(-s)_0.10' in next(iter(res['weighted']
+                                           ['per_obj_score'].values()))
+
+        # checkpoint save / resume roundtrip
+        ck = Checkpoint.by_step(str(tmp_path / 'ckpts'), resume_period=1)
+        ck.save(state, step=3, score=0.5)
+        state2, aux = ck.resume(comps['state'])
+        assert aux['step'] == 3
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(state2.params)[0]),
+            np.asarray(jax.tree.leaves(state.params)[0]))

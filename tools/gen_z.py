@@ -1,0 +1,100 @@
+"""Offline z_crop depth-patch generation (reference tools/gen_z.py equivalent).
+
+    python tools/gen_z.py --dataset lmo --data_dir datasets/BOP_DATASETS/lmo \
+        --split train --scenes 1 2 ...
+
+For every GT instance, renders the object's depth at the camera pose with the
+software rasterizer (no OpenGL needed), crops to the mask bbox, normalizes depth to
+uint16 1..65535 over [z_min, z_max], and writes gzip pickles
+{z_crop, xyxy, z_max, z_min} under <split>/z_crop/<scene>/<im>_<inst>.pkl.gz —
+the exact format dataset loading consumes (reference tools/gen_z.py:169-187,
+consumed at dataset.py:287-311 / our data/pipeline.py _homo_z_full).
+"""
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import os
+import os.path as osp
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
+
+from lc_tpu.data.mesh import load_ply_mesh, rasterize_depth  # noqa: E402
+
+
+def mask2bbox_xyxy(mask: np.ndarray):
+    ys, xs = np.nonzero(mask)
+    return int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())
+
+
+def process_scene(data_dir: str, split: str, scene_id: int, meshes: dict,
+                  im_hw=(480, 640)):
+    scene_dir = osp.join(data_dir, split, f'{scene_id:06d}')
+    with open(osp.join(scene_dir, 'scene_gt.json')) as f:
+        scene_gt = json.load(f)
+    with open(osp.join(scene_dir, 'scene_camera.json')) as f:
+        scene_cam = json.load(f)
+    out_dir = osp.join(data_dir, split, 'z_crop', f'{scene_id:06d}')
+    os.makedirs(out_dir, exist_ok=True)
+
+    for im_key, insts in scene_gt.items():
+        im_id = int(im_key)
+        K = np.asarray(scene_cam[im_key]['cam_K'], np.float64).reshape(3, 3)
+        for inst_idx, inst in enumerate(insts):
+            out_path = osp.join(out_dir, f'{im_id:06d}_{inst_idx:06d}.pkl.gz')
+            if osp.exists(out_path):
+                continue
+            obj_id = inst['obj_id']
+            verts, faces = meshes[obj_id]
+            R = np.asarray(inst['cam_R_m2c'], np.float64).reshape(3, 3)
+            t = np.asarray(inst['cam_t_m2c'], np.float64).reshape(3)
+            depth = rasterize_depth(verts, faces, K, R, t, im_hw)
+            mask = depth > 0
+            if not mask.any():
+                blob = {'z_crop': np.zeros((1, 1), np.uint16),
+                        'xyxy': (0, 0, 0, 0), 'z_max': 0.0, 'z_min': 0.0}
+            else:
+                x1, y1, x2, y2 = mask2bbox_xyxy(mask)
+                crop = depth[y1:y2 + 1, x1:x2 + 1]
+                cm = mask[y1:y2 + 1, x1:x2 + 1]
+                zv = crop[cm]
+                z_min, z_max = float(zv.min()), float(zv.max())
+                denom = max(z_max - z_min, 1e-6)
+                z16 = np.zeros_like(crop, np.uint16)
+                z16[cm] = (np.clip((crop[cm] - z_min) / denom, 0, 1)
+                           * 65534 + 1).astype(np.uint16)
+                blob = {'z_crop': z16, 'xyxy': (x1, y1, x2, y2),
+                        'z_max': z_max, 'z_min': z_min}
+            with gzip.open(out_path, 'wb') as f:
+                pickle.dump(blob, f)
+        print(f'scene {scene_id} im {im_id}: done', flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--data_dir', required=True)
+    ap.add_argument('--split', default='train')
+    ap.add_argument('--scenes', type=int, nargs='*')
+    ap.add_argument('--model_dir', default='models')
+    args = ap.parse_args()
+
+    model_dir = osp.join(args.data_dir, args.model_dir)
+    with open(osp.join(model_dir, 'models_info.json')) as f:
+        obj_ids = [int(k) for k in json.load(f)]
+    meshes = {oid: load_ply_mesh(osp.join(model_dir, f'obj_{oid:06d}.ply'))
+              for oid in obj_ids}
+
+    split_dir = osp.join(args.data_dir, args.split)
+    scenes = args.scenes or sorted(
+        int(d) for d in os.listdir(split_dir) if d.isdigit())
+    for sid in scenes:
+        process_scene(args.data_dir, args.split, sid, meshes)
+
+
+if __name__ == '__main__':
+    main()
