@@ -19,3 +19,13 @@ Layers (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU default matmul precision is bf16, which is catastrophic for the PnP/geometry
+# linear algebra (e.g. rotation-error trace loses ~5°, normal equations lose
+# digits). Force true-f32 matmuls for f32 operands globally; the CNNs opt into
+# bf16 explicitly via their compute dtype (models/layers.py), which this setting
+# does not affect.
+_jax.config.update("jax_default_matmul_precision", "highest")
+

@@ -28,18 +28,28 @@ def adi_err(R_est, t_est, R_gt, t_gt, pts):
     """Mean distance to the nearest estimated point, for indistinguishable views."""
     est = _transform(pts, R_est, t_est)
     gt = _transform(pts, R_gt, t_gt)
-    # ||g - e||² = |g|² + |e|² - 2 g·e ; the cross term is one big matmul
+    # center both sets (min-distance is invariant to a common shift): keeps the
+    # |g|²+|e|²−2g·e expansion numerically safe in f32 despite ~10³ mm translations
+    center = jnp.mean(gt, axis=-2, keepdims=True)
+    gt = gt - center
+    est = est - center
+    # ||g - e||² = |g|² + |e|² - 2 g·e ; the cross term is one big matmul.
+    # The expansion is only used to *select* the nearest neighbor; the returned
+    # distance is recomputed exactly on the gathered pair (immune to the f32
+    # cancellation the expansion suffers at small distances).
     g2 = jnp.sum(gt * gt, axis=-1)[..., :, None]
     e2 = jnp.sum(est * est, axis=-1)[..., None, :]
     cross = gt @ jnp.swapaxes(est, -1, -2)
-    d2 = jnp.maximum(g2 + e2 - 2.0 * cross, 0.0)
-    return jnp.mean(jnp.sqrt(jnp.min(d2, axis=-1)), axis=-1)
+    d2 = g2 + e2 - 2.0 * cross
+    nn = jnp.argmin(d2, axis=-1)                              # (..., N)
+    nearest = jnp.take_along_axis(est, nn[..., None], axis=-2)
+    return jnp.mean(jnp.linalg.norm(gt - nearest, axis=-1), axis=-1)
 
 
 def re_err(R_est, R_gt):
-    """Rotation geodesic error in degrees."""
-    cos = 0.5 * (jnp.trace(R_est @ jnp.swapaxes(R_gt, -1, -2),
-                           axis1=-2, axis2=-1) - 1.0)
+    """Rotation geodesic error in degrees. trace(A Bᵀ) as an elementwise sum —
+    exact in f32, immune to matmul-precision settings."""
+    cos = 0.5 * (jnp.sum(R_est * R_gt, axis=(-2, -1)) - 1.0)
     return jnp.degrees(jnp.arccos(jnp.clip(cos, -1.0, 1.0)))
 
 

@@ -24,11 +24,21 @@ def quantile_mask(den_inv_std2d: jax.Array, quantile) -> jax.Array:
     """Keep points whose summed weight is >= the per-sample quantile
     (reference test.py:39-45). den_inv_std2d: (B, N, 2); quantile scalar or (B,)."""
     w = jnp.sum(den_inv_std2d, axis=-1)                       # (B, N)
+    n = w.shape[-1]
     q = jnp.asarray(quantile, w.dtype)
     if q.ndim == 0:
-        thresh = jnp.quantile(w, q, axis=1, keepdims=True)
-    else:
-        thresh = jax.vmap(lambda row, qq: jnp.quantile(row, qq))(w, q)[:, None]
+        q = jnp.broadcast_to(q, w.shape[:1])
+    # one ascending sort + linear interpolation (numpy 'linear' quantile semantics,
+    # matching torch.quantile in the reference) — cheaper than jnp.quantile's
+    # per-q path and handles per-sample q uniformly
+    sw = jnp.sort(w, axis=-1)
+    pos = q * (n - 1)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 1)
+    hi = jnp.clip(lo + 1, 0, n - 1)
+    frac = (pos - lo.astype(w.dtype))[:, None]
+    v_lo = jnp.take_along_axis(sw, lo[:, None], axis=-1)
+    v_hi = jnp.take_along_axis(sw, hi[:, None], axis=-1)
+    thresh = v_lo * (1 - frac) + v_hi * frac
     return w >= thresh
 
 

@@ -8,8 +8,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import (BatchNorm, conv_init, upsample_bilinear_align_corners,
-                     ConvTransposeBNReLU)
+from .layers import (BatchNorm, Conv, conv_init,
+                     upsample_bilinear_align_corners, ConvTransposeBNReLU)
 from .resnet import ResNetBackbone
 
 # resnet34 per-stage channels, for skip-concat widths (reference resnet_spec)
@@ -34,7 +34,7 @@ class CDPNDecoder(nn.Module):
                 x = jnp.concatenate((x, concat_feats[i]), axis=-1)
                 x = upsample_bilinear_align_corners(x)
                 for j in range(2):
-                    x = nn.Conv(self.num_filters, (3, 3), padding=1, use_bias=False,
+                    x = Conv(self.num_filters, (3, 3), padding=1, use_bias=False,
                                 kernel_init=conv_init, name=f'conv{i}_{j}')(x)
                     x = BatchNorm(use_running_average=not train,
                                   name=f'bn{i}_{j}')(x)
@@ -44,13 +44,13 @@ class CDPNDecoder(nn.Module):
                 if i >= 1:
                     x = upsample_bilinear_align_corners(x)
                 for j in range(2):
-                    x = nn.Conv(self.num_filters, (3, 3), padding=1, use_bias=False,
+                    x = Conv(self.num_filters, (3, 3), padding=1, use_bias=False,
                                 kernel_init=conv_init, name=f'conv{i}_{j}')(x)
                     x = BatchNorm(use_running_average=not train,
                                   name=f'bn{i}_{j}')(x)
                     x = nn.relu(x)
         k = self.output_kernel_size
-        out = nn.Conv(self.out_channels, (k, k), padding=k // 2, use_bias=True,
+        out = Conv(self.out_channels, (k, k), padding=k // 2, use_bias=True,
                       kernel_init=conv_init, name='out_layer')(x)
         return out, x
 

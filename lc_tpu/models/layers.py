@@ -8,8 +8,31 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+# Mixed-precision policy: convolutions compute in bf16 on the MXU (params stay
+# f32), every BatchNorm restores f32. lc_tpu/__init__ forces f32 matmul precision
+# globally for the geometry/linalg path; the CNNs opt back into bf16 here.
+COMPUTE_DTYPE = jnp.bfloat16
+
+
+def set_compute_dtype(dtype):
+    """Override the CNN compute dtype (tests use f32 for torch-parity checks)."""
+    global COMPUTE_DTYPE
+    COMPUTE_DTYPE = dtype
+
+
 # torch-parity defaults: BN eps 1e-5, momentum 0.1 (flax momentum = 1 - torch = 0.9)
-BatchNorm = functools.partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
+BatchNorm = functools.partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5,
+                              dtype=jnp.float32)
+
+
+def Conv(*args, **kw):
+    kw.setdefault('dtype', COMPUTE_DTYPE)
+    return nn.Conv(*args, **kw)
+
+
+def ConvTranspose(*args, **kw):
+    kw.setdefault('dtype', COMPUTE_DTYPE)
+    return nn.ConvTranspose(*args, **kw)
 
 conv_init = nn.initializers.normal(stddev=0.001)  # reference mmcv normal_init std=.001
 
@@ -72,7 +95,7 @@ class ConvTransposeBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2), padding='SAME',
+        x = ConvTranspose(self.features, (3, 3), strides=(2, 2), padding='SAME',
                              use_bias=False, kernel_init=conv_init, name='deconv')(x)
         x = BatchNorm(use_running_average=not train, name='bn')(x)
         return nn.relu(x)

@@ -80,6 +80,9 @@ class PtNet(nn.Module):
 
     def __call__(self, rgb, train: bool = False) -> dict:
         out_raw, feature = self.net(rgb, train=train)
+        # heads and losses run in f32 regardless of the backbone compute dtype
+        out_raw = out_raw.astype(jnp.float32)
+        feature = feature.astype(jnp.float32)
         split = {k: out_raw[..., v] for k, v in self.channel_slices.items()}
 
         if 'kpt_logits' in split:

@@ -18,7 +18,7 @@ from typing import Sequence
 import jax
 from flax import linen as nn
 
-from .layers import BatchNorm, conv_init, max_pool_3x3_s2
+from .layers import BatchNorm, Conv, conv_init, max_pool_3x3_s2
 
 
 class BasicBlock(nn.Module):
@@ -29,19 +29,19 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         pad = self.dilation
-        out = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+        out = Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
                       padding=((pad, pad), (pad, pad)),
                       kernel_dilation=(self.dilation, self.dilation),
                       use_bias=False, kernel_init=conv_init, name='conv1')(x)
         out = BatchNorm(use_running_average=not train, name='bn1')(out)
         out = nn.relu(out)
-        out = nn.Conv(self.filters, (3, 3), padding=((pad, pad), (pad, pad)),
+        out = Conv(self.filters, (3, 3), padding=((pad, pad), (pad, pad)),
                       kernel_dilation=(self.dilation, self.dilation),
                       use_bias=False, kernel_init=conv_init, name='conv2')(out)
         out = BatchNorm(use_running_average=not train, name='bn2')(out)
 
         if self.stride != 1 or x.shape[-1] != self.filters:
-            sc = nn.Conv(self.filters, (1, 1), strides=(self.stride, self.stride),
+            sc = Conv(self.filters, (1, 1), strides=(self.stride, self.stride),
                          use_bias=False, kernel_init=conv_init,
                          name='downsample_conv')(x)
             sc = BatchNorm(use_running_average=not train, name='downsample_bn')(sc)
@@ -69,7 +69,7 @@ class ResNetStem(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+        x = Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, kernel_init=conv_init, name='conv1')(x)
         x = BatchNorm(use_running_average=not train, name='bn1')(x)
         return nn.relu(x)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import BatchNorm, conv_init, ConvTransposeBNReLU
+from .layers import BatchNorm, Conv, ConvTranspose, conv_init, ConvTransposeBNReLU
 from .resnet import ZebraResNetOS8
 
 
@@ -25,7 +25,7 @@ class _ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         pad = self.dilation * (self.kernel // 2)
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
+        x = Conv(self.features, (self.kernel, self.kernel),
                     padding=((pad, pad), (pad, pad)),
                     kernel_dilation=(self.dilation, self.dilation),
                     use_bias=True, kernel_init=conv_init, name='conv')(x)
@@ -41,7 +41,7 @@ class _UpsampleStage(nn.Module):
     def __call__(self, x, train: bool):
         x = ConvTransposeBNReLU(self.features, name='deconv')(x, train)
         for j in range(2):
-            x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+            x = Conv(self.features, (3, 3), padding=1, use_bias=False,
                         kernel_init=conv_init, name=f'conv{j}')(x)
             x = BatchNorm(use_running_average=not train, name=f'bn{j}')(x)
             x = nn.relu(x)
@@ -70,7 +70,7 @@ class ASPP(nn.Module):
         x = _UpsampleStage(name='upsample_2')(x, train)            # 64² -> 128²
         feature = jnp.concatenate((x, x_128), axis=-1)             # 256 + 64
         k = self.output_kernel_size
-        out = nn.Conv(self.num_classes, (k, k), padding=k // 2, use_bias=True,
+        out = Conv(self.num_classes, (k, k), padding=k // 2, use_bias=True,
                       kernel_init=conv_init, name='out_layer')(feature)
         return out, feature
 

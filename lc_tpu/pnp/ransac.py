@@ -73,17 +73,57 @@ def _pose_from_P(P: jax.Array, pts3d: jax.Array, w: jax.Array
     return R, t, ok
 
 
+def _polar_rotation(M: jax.Array, iters: int = 12) -> jax.Array:
+    """Orthogonal polar factor of (..., 3, 3) via Newton–Schulz — pure matmuls
+    (no 3×3 SVD, which lowers to a slow iterative kernel on TPU)."""
+    norm = jnp.linalg.norm(M, axis=(-2, -1), keepdims=True)
+    X = M / jnp.maximum(norm, 1e-20)
+    for _ in range(iters):
+        X = 1.5 * X - 0.5 * X @ jnp.swapaxes(X, -1, -2) @ X
+    return X
+
+
 def dlt_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
             w: jax.Array | None = None) -> tuple[jax.Array, jax.Array]:
-    """Direct linear transform PnP. Returns (pose7 (..., 7), ok (...))."""
+    """Direct linear transform PnP. Returns (pose7 (..., 7), ok (...)).
+
+    Inhomogeneous formulation with P[2,3] fixed to 1 (valid whenever t_z > 0,
+    always true for objects in front of the camera): an 11-unknown weighted
+    least-squares solved by 11×11 Cholesky — batched MXU work instead of the
+    12×12 eigendecomposition of the homogeneous DLT. Cheirality is built in
+    (the true solution has scale λ = 1/t_z > 0).
+    """
     if w is None:
         w = jnp.ones(pts2d.shape[:-1], pts2d.dtype)
     inv_K = jnp.linalg.inv(cam_K)
     ones = jnp.ones_like(pts2d[..., :1])
     xy1 = jnp.concatenate((pts2d, ones), axis=-1)
     xy_norm = (xy1 @ jnp.swapaxes(inv_K, -1, -2))[..., :2]
-    P = _dlt_homogeneous(pts3d, xy_norm, w)
-    R, t, ok = _pose_from_P(P, pts3d, w)
+
+    Xh = jnp.concatenate((pts3d, ones), axis=-1)              # (..., N, 4)
+    zeros = jnp.zeros_like(Xh)
+    u = xy_norm[..., 0:1]
+    v = xy_norm[..., 1:2]
+    row_u = jnp.concatenate((Xh, zeros, -u * pts3d), axis=-1)  # (..., N, 11)
+    row_v = jnp.concatenate((zeros, Xh, -v * pts3d), axis=-1)
+    A = jnp.concatenate((row_u, row_v), axis=-2)               # (..., 2N, 11)
+    b = jnp.concatenate((xy_norm[..., 0], xy_norm[..., 1]), axis=-1)  # (..., 2N)
+    wr = jnp.concatenate((w, w), axis=-1)
+
+    AtA = jnp.einsum('...ni,...n,...nj->...ij', A, wr, A)
+    AtA = AtA + 1e-8 * jnp.eye(11, dtype=A.dtype)
+    Atb = jnp.einsum('...ni,...n,...n->...i', A, wr, b)
+    L = jnp.linalg.cholesky(AtA)
+    chol_ok = jnp.logical_not(jnp.any(jnp.isnan(L), axis=(-1, -2)))
+    L = jnp.where(chol_ok[..., None, None], L, jnp.eye(11, dtype=A.dtype))
+    x = jax.scipy.linalg.cho_solve((L, True), Atb[..., None])[..., 0]
+
+    M = jnp.stack((x[..., 0:3], x[..., 4:7], x[..., 8:11]), axis=-2)
+    t_vec = jnp.stack((x[..., 3], x[..., 7], jnp.ones_like(x[..., 3])), axis=-1)
+    R = _polar_rotation(M)
+    lam = jnp.einsum('...ij,...ij->...', R, M) / 3.0          # trace(RᵀM)/3
+    ok = chol_ok & (lam > 1e-12) & (jnp.linalg.det(R) > 0)
+    t = t_vec / jnp.maximum(lam, 1e-12)[..., None]
     return jnp.concatenate((matrix_to_quaternion(R), t), axis=-1), ok
 
 

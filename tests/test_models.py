@@ -161,9 +161,20 @@ class TestTorchPort:
         return {k: v for k, v in sd.items()}
 
     def test_backbone_port_numerical_parity(self):
-        """Ported backbone must reproduce a torch forward built from the same SD."""
+        """Ported backbone must reproduce a torch forward built from the same SD.
+
+        Runs the flax side in f32 compute (production uses bf16; parity of the
+        *weights transplant* is what's under test here)."""
         import torch
         import torch.nn as tnn
+        from lc_tpu.models import layers as L
+        L.set_compute_dtype(jnp.float32)
+        try:
+            self._run_parity_body(torch, tnn)
+        finally:
+            L.set_compute_dtype(jnp.bfloat16)
+
+    def _run_parity_body(self, torch, tnn):
         sd = self._fake_resnet34_sd()
         np_sd = {k: v.numpy() for k, v in sd.items()}
 
