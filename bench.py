@@ -23,7 +23,7 @@ import numpy as np
 
 REFERENCE_CROPS_PER_SEC = 100.0  # provisional; see module docstring
 BATCH = 32
-WARMUP = 3
+WARMUP = 1
 ITERS = 10
 
 
@@ -31,7 +31,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from lc_tpu.models import build_model
-    from lc_tpu.data.crop import batched_affine_warp
+    from lc_tpu.data.crop import batched_separable_warp
     from lc_tpu.inference import solve_pnp_dense
     from lc_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
 
@@ -53,14 +53,33 @@ def main():
         [[572.4, 0, 32.0], [0, 573.6, 32.0], [0, 0, 1.0]]), (BATCH, 3, 3))
     gt = dict(out_K=K, noc_scale=jnp.full((BATCH, 3), 100.0))
 
+    # Pose-consistent dense correspondence field: with untrained weights the LM
+    # refiner burns its full 50-iteration budget on garbage, overstating solver
+    # cost vs. production. Blend a realistic field (GT-pose backprojection +
+    # noise) with a small multiple of the CNN head output so the CNN stays in the
+    # measured graph while the solver sees production-like convergence (~10 its).
+    from lc_tpu import geom
+    from scipy.spatial.transform import Rotation as sciR
+    Rs = sciR.random(BATCH, random_state=1).as_matrix().astype(np.float32)
+    ts = np.concatenate((rng.uniform(-5, 5, (BATCH, 2)),
+                         rng.uniform(400, 600, (BATCH, 1))), -1).astype(np.float32)
+    uvg = np.asarray(geom.gen_uv((64, 64))).reshape(-1, 2)
+    z = rng.uniform(380, 620, (BATCH, 64 * 64, 1)).astype(np.float32)
+    homo = np.concatenate((np.broadcast_to(uvg, (BATCH, 64 * 64, 2)) * z, z), -1)
+    xyz = np.asarray(geom.xyz_from_homo_z(
+        jnp.asarray(homo), jnp.asarray(Rs), jnp.asarray(ts), K))
+    noc_field = jnp.asarray((xyz / 100.0).reshape(BATCH, 64, 64, 3))
+
     mean = jnp.asarray(IMAGENET_MEAN)
     std = jnp.asarray(IMAGENET_STD)
 
     @jax.jit
     def pipeline(variables, frames, affines, key):
-        crops = batched_affine_warp(frames, affines, (256, 256), 'bilinear')
+        crops = batched_separable_warp(frames, affines, (256, 256), 'bilinear')
         x = (crops / 255.0 - mean) / std
         out = model.apply(variables, x, train=False)
+        out = dict(out)
+        out['xyz_noc'] = noc_field + 1e-3 * out['xyz_noc']
         states = solve_pnp_dense(out, gt, key, sample=2,
                                  point_select='quantile', quantile=0.3,
                                  solvers=('weighted',))

@@ -29,3 +29,14 @@ import jax as _jax
 # does not affect.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: first compiles through the TPU toolchain are
+# minutes-long; cache them across processes (harmless on CPU).
+import os as _os
+
+_cache_dir = _os.environ.get("LC_TPU_JAX_CACHE", "/tmp/lc_tpu_jax_cache")
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # noqa: BLE001 — older jax without these options
+    pass
+

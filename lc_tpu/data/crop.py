@@ -70,6 +70,39 @@ def affine_warp(img: jax.Array, affine: jax.Array, out_hw: tuple,
 @functools.partial(jax.jit, static_argnames=('out_hw', 'method'))
 def batched_affine_warp(imgs: jax.Array, affines: jax.Array, out_hw: tuple,
                         method: str = 'bilinear') -> jax.Array:
-    """imgs (B, H, W, C), affines (B, 2, 3) -> (B, h, w, C)."""
+    """imgs (B, H, W, C), affines (B, 2, 3) -> (B, h, w, C). General affines
+    (gather-based; slow on TPU — prefer batched_separable_warp for axis-aligned
+    crops, which is the common case)."""
     return jax.vmap(lambda im, af: affine_warp(im, af, out_hw, method))(
         imgs, affines)
+
+
+def _interp_matrix(inv_a: jax.Array, inv_b: jax.Array, n_out: int, n_src: int,
+                   method: str) -> jax.Array:
+    """Per-crop 1D resampling matrix W (..., n_out, n_src) for
+    src_coord = inv_a · out_coord + inv_b. Bilinear = tent weights (zero outside
+    the source, matching cv2's constant-0 border); nearest = one-hot at round."""
+    o = jax.lax.broadcasted_iota(jnp.float32, (n_out, n_src), 0)
+    i = jax.lax.broadcasted_iota(jnp.float32, (n_out, n_src), 1)
+    src = inv_a[..., None, None] * o + inv_b[..., None, None]
+    if method == 'bilinear':
+        return jnp.maximum(0.0, 1.0 - jnp.abs(src - i))
+    return (jnp.round(src) == i).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=('out_hw', 'method'))
+def batched_separable_warp(imgs: jax.Array, affines: jax.Array, out_hw: tuple,
+                           method: str = 'bilinear') -> jax.Array:
+    """Axis-aligned affine crop as two interpolation matmuls (MXU work instead of
+    gathers — TPUs have no hardware gather, making the general warp ~100× slower).
+    Requires affines with zero off-diagonal linear part (no rotation): the crop is
+    a per-sample scale + translate, so resampling is separable:
+        out = W_y · img · W_xᵀ  per channel.
+    imgs (B, H, W, C), affines (B, 2, 3) -> (B, h, w, C)."""
+    h, w = out_hw
+    H, W = imgs.shape[1:3]
+    inv = invert_affine(affines, xp=jnp)                 # (B, 2, 3)
+    Wy = _interp_matrix(inv[:, 1, 1], inv[:, 1, 2], h, H, method)  # (B, h, H)
+    Wx = _interp_matrix(inv[:, 0, 0], inv[:, 0, 2], w, W, method)  # (B, w, W)
+    tmp = jnp.einsum('boh,bhwc->bowc', Wy, imgs)
+    return jnp.einsum('bow,bhwc->bhoc', Wx, tmp)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from . import bop, rle
 from .augment import color_augment, switch_background
-from .crop import batched_affine_warp
+from .crop import batched_affine_warp, batched_separable_warp
 from .model_info import load_composed_model_info
 from ..geom.affine import crop_affine, affine33
 from ..geom.symmetry import symmetry_pose_candidates, pad_candidates
@@ -164,6 +164,8 @@ class BOPDataset:
             'net_output_wh', cfg_dataset.get('net_output_wh', (64, 64))))
         mask_interp = cfg_dataset.get('mask_interp', 'linear').lower()
         self.mask_nearest = mask_interp == 'nearest'
+        # host-side cv2 warping only when rotation augmentation is on (see sample())
+        self.host_warp = train and cfg_dataset.get('rotate_prob', 0) > 0
 
         self.bg_list = None
         if train and cfg_dataset.get('bg_dir') and osp.isdir(cfg_dataset.bg_dir):
@@ -268,10 +270,31 @@ class BOPDataset:
         in_aff = crop_affine(center, scale, rotate, in_wh).astype(np.float32)
         out_K = (affine33(out_aff) @ cam_K).astype(np.float32)
 
+        # Rotated crops are warped on the host (cv2, like the reference): TPUs have
+        # no hardware gather, so a rotated device warp is ~100× slower than the
+        # axis-aligned separable-matmul crop used otherwise.
+        host_warp = self.host_warp
+        if host_warp:
+            rgb_in = cv2.warpAffine(rgb, in_aff, in_wh, flags=cv2.INTER_LINEAR)
+            blob0 = {
+                'rgb_in': rgb_in.astype(np.uint8),
+                'msk_in': (cv2.warpAffine(msk_visib, in_aff, in_wh,
+                                          flags=cv2.INTER_LINEAR)
+                           * 255).astype(np.uint8),
+                'msk_vis_small': cv2.warpAffine(
+                    msk_visib, out_aff, out_wh,
+                    flags=cv2.INTER_NEAREST if self.mask_nearest
+                    else cv2.INTER_LINEAR).astype(np.float32),
+            }
+        else:
+            blob0 = {
+                'rgb_full': rgb,
+                'msk_full': (msk_visib * 255).astype(np.uint8),
+                'in_affine': in_aff,
+            }
+
         blob = {
-            'rgb_full': rgb,
-            'msk_full': (msk_visib * 255).astype(np.uint8),
-            'in_affine': in_aff,
+            **blob0,
             'out_affine': out_aff,
             'out_K': out_K,
             'noc_scale': m_info['noc_scale_xfd'].astype(np.float32),
@@ -296,6 +319,8 @@ class BOPDataset:
         # --- training-only parts ---
         msk_noc_small = cv2.warpAffine(
             msk_visib, out_aff, out_wh, flags=cv2.INTER_NEAREST) > 0.5
+        if host_warp:
+            blob['msk_noc_small'] = msk_noc_small.astype(np.float32)
         valid_pos = msk_noc_small.nonzero()
         valid_cnt = len(valid_pos[0])
         if valid_cnt < self.valid_pix_cnt_th:
@@ -449,13 +474,29 @@ def device_preprocess(batch: dict, key: jax.Array, *, net_input_wh, net_output_w
     blob from Loader, returns the gt blob the model/loss consume."""
     in_hw = (net_input_wh[1], net_input_wh[0])
     out_hw = (net_output_wh[1], net_output_wh[0])
-    rgb_full = batch['rgb_full'].astype(jnp.float32)
-    rgb_in = batched_affine_warp(rgb_full, batch['in_affine'], in_hw, 'bilinear')
+    host_warped = 'rgb_in' in batch  # rotated crops arrive pre-warped (host cv2)
+
+    if host_warped:
+        rgb_in = batch['rgb_in'].astype(jnp.float32)
+    else:
+        rgb_full = batch['rgb_full'].astype(jnp.float32)
+        rgb_in = batched_separable_warp(rgb_full, batch['in_affine'], in_hw,
+                                        'bilinear')
 
     if train:
-        msk_full = (batch['msk_full'].astype(jnp.float32) / 255.0)[..., None]
-        msk_in = batched_affine_warp(msk_full, batch['in_affine'], in_hw,
-                                     'bilinear')[..., 0]
+        if host_warped:
+            msk_in = batch['msk_in'].astype(jnp.float32) / 255.0
+            msk_vis = batch['msk_vis_small']
+            msk_noc = batch['msk_noc_small'] > 0.5
+        else:
+            msk_full = (batch['msk_full'].astype(jnp.float32) / 255.0)[..., None]
+            msk_in = batched_separable_warp(msk_full, batch['in_affine'], in_hw,
+                                            'bilinear')[..., 0]
+            msk_vis = batched_separable_warp(
+                msk_full, batch['out_affine'], out_hw,
+                'nearest' if mask_nearest else 'bilinear')[..., 0]
+            msk_noc = batched_separable_warp(
+                msk_full, batch['out_affine'], out_hw, 'nearest')[..., 0] > 0.5
         rgb_in = switch_background(rgb_in, msk_in,
                                    batch['bg_crop'].astype(jnp.float32),
                                    batch['switch_bg'])
@@ -465,18 +506,14 @@ def device_preprocess(batch: dict, key: jax.Array, *, net_input_wh, net_output_w
                               use_invert=use_invert)
         rgb_in = jnp.where(batch['pixel_aug'][:, None, None, None],
                            auged, rgb_in)
-        msk_vis = batched_affine_warp(
-            msk_full, batch['out_affine'], out_hw,
-            'nearest' if mask_nearest else 'bilinear')[..., 0]
-        msk_noc = batched_affine_warp(msk_full, batch['out_affine'], out_hw,
-                                      'nearest')[..., 0] > 0.5
 
     x = rgb_in / 255.0
     x = (x - IMAGENET_MEAN) / IMAGENET_STD
 
     out = dict(batch)
     for k in ('rgb_full', 'msk_full', 'bg_crop', 'in_affine', 'switch_bg',
-              'pixel_aug'):
+              'pixel_aug', 'rgb_in', 'msk_in', 'msk_vis_small',
+              'msk_noc_small'):
         out.pop(k, None)
     out['img_in'] = x
     if train:

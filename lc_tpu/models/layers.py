@@ -85,18 +85,37 @@ def upsample_bilinear_align_corners(x: jax.Array, factor: int = 2) -> jax.Array:
     return jnp.einsum('ow,bhwc->bhoc', mw, x)
 
 
-class ConvTransposeBNReLU(nn.Module):
-    """ConvTranspose(k3, s2) + BN + ReLU producing exact 2x upsampling.
+class Deconv2x(nn.Module):
+    """Exact torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1) equivalent.
 
-    Equivalent to torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1); the flax
-    'SAME' transposed conv with stride 2 / kernel 3 yields the same geometry.
+    Built directly on lax.conv_general_dilated (input dilation 2, padding (1, 2),
+    spatially-flipped kernel) because flax's ConvTranspose 'SAME' geometry does not
+    line up with torch's — verified numerically in tests/test_models.py. The kernel
+    parameter is stored (kh, kw, in, out) unflipped, so torch weights port with the
+    same (2, 3, 0, 1) transpose as regular convs (torch convT weight is (in, out,
+    kh, kw)); the flip happens at application time.
     """
     features: int
 
     @nn.compact
+    def __call__(self, x):
+        kernel = self.param('kernel', conv_init,
+                            (3, 3, x.shape[-1], self.features), jnp.float32)
+        dt = COMPUTE_DTYPE
+        return jax.lax.conv_general_dilated(
+            x.astype(dt), kernel[::-1, ::-1].astype(dt),
+            window_strides=(1, 1), padding=((1, 2), (1, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+class ConvTransposeBNReLU(nn.Module):
+    """Deconv 2x + BN + ReLU (torch ConvTranspose2d(k3, s2, p1, op1) parity)."""
+    features: int
+
+    @nn.compact
     def __call__(self, x, train: bool):
-        x = ConvTranspose(self.features, (3, 3), strides=(2, 2), padding='SAME',
-                             use_bias=False, kernel_init=conv_init, name='deconv')(x)
+        x = Deconv2x(self.features, name='deconv')(x)
         x = BatchNorm(use_running_average=not train, name='bn')(x)
         return nn.relu(x)
 

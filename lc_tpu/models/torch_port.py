@@ -6,11 +6,11 @@ checkpoints in torch format. This module rewrites those state dicts into our fla
 param/batch_stats trees. Layout conventions:
 
     Conv2d          weight (O, I, kH, kW)  -> kernel (kH, kW, I, O)
-    ConvTranspose2d weight (I, O, kH, kW)  -> kernel (kH, kW, O, I) with flipped
-                    spatial dims? No — flax nn.ConvTranspose uses an *unflipped*
-                    HWIO kernel applied via lax.conv_transpose, which matches torch's
-                    ConvTranspose2d when the torch weight is transposed (2, 3, 0, 1);
-                    validated numerically in tests/test_models.py.
+    ConvTranspose2d weight (I, O, kH, kW)  -> kernel (kH, kW, I, O), consumed by
+                    our Deconv2x layer which stores the kernel unflipped and flips
+                    spatially at application (models/layers.py; validated
+                    numerically in tests/test_models.py — flax's own ConvTranspose
+                    'SAME' geometry does NOT match torch).
     Linear          weight (O, I)          -> kernel (I, O)
     BatchNorm2d     weight/bias            -> scale/bias (params)
                     running_mean/var       -> mean/var (batch_stats)

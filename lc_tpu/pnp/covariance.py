@@ -25,6 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.smallmat import outer_accum_6
 from .residual import residual_with_jac6d
 
 
@@ -67,7 +68,7 @@ def weighted_pnp_jac_cov(pose_gt: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
     if valid is not None:
         w = w * valid[..., None].astype(w.dtype)
 
-    H = jnp.einsum('...nci,...ncj,...nc->...ij', J, J, w)
+    H = outer_accum_6(J, w)
     H = 0.5 * (H + jnp.swapaxes(H, -1, -2))
     L, invalid = safe_cholesky(H)
 

@@ -3,9 +3,10 @@
 The reference round-trips every batch to a host multiprocessing pool running
 OpenCV EPnP+RANSAC per instance (reference lib/pnp/cv2_solver.py:8-108,
 test.py:120). Here the whole batch solves on-device: all `num_hypotheses`
-minimal-subset solves run as one vmapped DLT (a 12×12 eigendecomposition each),
-inlier counting is a single einsum-shaped reprojection pass, and the winning
-hypothesis is re-fit on its inliers with a mask-weighted DLT.
+minimal-subset solves run as one batched inhomogeneous DLT (11×11 Cholesky each),
+inlier counting is one vectorized reprojection pass, and the winning hypothesis is
+re-fit on its inliers with a mask-weighted DLT. Rotations come from Newton–Schulz
+polar iteration; every tiny contraction is VPU elementwise (ops/smallmat.py).
 
 The minimal solver is a normalized DLT on 6 points rather than EPnP-on-5: with
 pixels premultiplied by K⁻¹ the projection matrix is λ[R|t] directly, and R is
@@ -23,6 +24,14 @@ import jax.numpy as jnp
 
 from ..geom.pose import RT_to_pose7
 from ..geom.rotations import matrix_to_quaternion
+from ..ops.smallmat import rot_pts, mm_small
+
+
+def _det3(M):
+    """Closed-form 3x3 determinant (jnp.linalg.det LU-factorizes, slow batched)."""
+    return (M[..., 0, 0] * (M[..., 1, 1] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 1])
+            - M[..., 0, 1] * (M[..., 1, 0] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 0])
+            + M[..., 0, 2] * (M[..., 1, 0] * M[..., 2, 1] - M[..., 1, 1] * M[..., 2, 0]))
 
 
 class RansacResult(NamedTuple):
@@ -32,54 +41,13 @@ class RansacResult(NamedTuple):
     n_inliers: jax.Array    # (B,)
 
 
-def _dlt_homogeneous(pts3d: jax.Array, xy_norm: jax.Array, w: jax.Array) -> jax.Array:
-    """Weighted DLT: smallest eigenvector of AᵀWA -> P (..., 3, 4).
-
-    pts3d: (..., N, 3); xy_norm: (..., N, 2) normalized image coords (K⁻¹ applied);
-    w: (..., N) row weights (0/1 masks or soft weights).
-    """
-    ones = jnp.ones_like(pts3d[..., :1])
-    Xh = jnp.concatenate((pts3d, ones), axis=-1)             # (..., N, 4)
-    zeros = jnp.zeros_like(Xh)
-    u = xy_norm[..., 0:1]
-    v = xy_norm[..., 1:2]
-    row_u = jnp.concatenate((Xh, zeros, -u * Xh), axis=-1)   # (..., N, 12)
-    row_v = jnp.concatenate((zeros, Xh, -v * Xh), axis=-1)
-    A = jnp.concatenate((row_u, row_v), axis=-2)             # (..., 2N, 12)
-    wr = jnp.concatenate((w, w), axis=-1)                    # (..., 2N)
-    AtA = jnp.einsum('...ni,...n,...nj->...ij', A, wr, A)    # (..., 12, 12)
-    _, vecs = jnp.linalg.eigh(AtA)
-    p = vecs[..., 0]                                         # smallest eigenvector
-    return p.reshape(p.shape[:-1] + (3, 4))
-
-
-def _pose_from_P(P: jax.Array, pts3d: jax.Array, w: jax.Array
-                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Extract (R, t, ok) from a scaled projection P ≈ λ[R|t] with cheirality fix."""
-    ones = jnp.ones_like(pts3d[..., :1])
-    Xh = jnp.concatenate((pts3d, ones), axis=-1)
-    depth = jnp.einsum('...j,...nj->...n', P[..., 2, :], Xh)
-    mean_depth = jnp.sum(depth * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
-    P = P * jnp.where(mean_depth < 0, -1.0, 1.0)[..., None, None]
-
-    M = P[..., :3]
-    U, S, Vt = jnp.linalg.svd(M)
-    det = jnp.linalg.det(U @ Vt)
-    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    R = U @ (D[..., :, None] * Vt)
-    scale = jnp.sum(S * D, axis=-1) / 3.0
-    ok = scale > 1e-12
-    t = P[..., 3] / jnp.maximum(scale, 1e-12)[..., None]
-    return R, t, ok
-
-
 def _polar_rotation(M: jax.Array, iters: int = 12) -> jax.Array:
     """Orthogonal polar factor of (..., 3, 3) via Newton–Schulz — pure matmuls
     (no 3×3 SVD, which lowers to a slow iterative kernel on TPU)."""
     norm = jnp.linalg.norm(M, axis=(-2, -1), keepdims=True)
     X = M / jnp.maximum(norm, 1e-20)
     for _ in range(iters):
-        X = 1.5 * X - 0.5 * X @ jnp.swapaxes(X, -1, -2) @ X
+        X = 1.5 * X - 0.5 * mm_small(mm_small(X, jnp.swapaxes(X, -1, -2)), X)
     return X
 
 
@@ -98,38 +66,53 @@ def dlt_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     inv_K = jnp.linalg.inv(cam_K)
     ones = jnp.ones_like(pts2d[..., :1])
     xy1 = jnp.concatenate((pts2d, ones), axis=-1)
-    xy_norm = (xy1 @ jnp.swapaxes(inv_K, -1, -2))[..., :2]
+    xy_norm = rot_pts(xy1, inv_K)[..., :2]
 
-    Xh = jnp.concatenate((pts3d, ones), axis=-1)              # (..., N, 4)
+    # standard DLT normalization: center + unit-RMS scale the 3D points so AtA is
+    # well-conditioned in f32 (raw mm coords give condition numbers ~1e6)
+    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-6)
+    c3d = jnp.sum(pts3d * w[..., None], axis=-2, keepdims=True) / wsum[..., None]
+    Xc = pts3d - c3d
+    s3d = jnp.sqrt(jnp.sum(jnp.sum(Xc * Xc, axis=-1) * w, axis=-1,
+                           keepdims=True) / wsum / 3.0)
+    s3d = jnp.maximum(s3d, 1e-6)
+    Xn = Xc / s3d[..., None]
+
+    Xh = jnp.concatenate((Xn, ones), axis=-1)                  # (..., N, 4)
     zeros = jnp.zeros_like(Xh)
     u = xy_norm[..., 0:1]
     v = xy_norm[..., 1:2]
-    row_u = jnp.concatenate((Xh, zeros, -u * pts3d), axis=-1)  # (..., N, 11)
-    row_v = jnp.concatenate((zeros, Xh, -v * pts3d), axis=-1)
+    row_u = jnp.concatenate((Xh, zeros, -u * Xn), axis=-1)     # (..., N, 11)
+    row_v = jnp.concatenate((zeros, Xh, -v * Xn), axis=-1)
     A = jnp.concatenate((row_u, row_v), axis=-2)               # (..., 2N, 11)
     b = jnp.concatenate((xy_norm[..., 0], xy_norm[..., 1]), axis=-1)  # (..., 2N)
     wr = jnp.concatenate((w, w), axis=-1)
 
-    AtA = jnp.einsum('...ni,...n,...nj->...ij', A, wr, A)
+    Aw = A * wr[..., None]                                     # (..., 2N, 11)
+    AtA = jnp.sum(Aw[..., :, None] * A[..., None, :], axis=-3)  # VPU outer-accum
     AtA = AtA + 1e-8 * jnp.eye(11, dtype=A.dtype)
-    Atb = jnp.einsum('...ni,...n,...n->...i', A, wr, b)
+    Atb = jnp.sum(Aw * b[..., None], axis=-2)
     L = jnp.linalg.cholesky(AtA)
     chol_ok = jnp.logical_not(jnp.any(jnp.isnan(L), axis=(-1, -2)))
     L = jnp.where(chol_ok[..., None, None], L, jnp.eye(11, dtype=A.dtype))
     x = jax.scipy.linalg.cho_solve((L, True), Atb[..., None])[..., 0]
 
+    # solved P' = λ'[R | t'] for X' = (X - c)/s: R is shared, λ' = λ·s,
+    # t' relates by t = t'/λ − R·c
     M = jnp.stack((x[..., 0:3], x[..., 4:7], x[..., 8:11]), axis=-2)
     t_vec = jnp.stack((x[..., 3], x[..., 7], jnp.ones_like(x[..., 3])), axis=-1)
     R = _polar_rotation(M)
-    lam = jnp.einsum('...ij,...ij->...', R, M) / 3.0          # trace(RᵀM)/3
-    ok = chol_ok & (lam > 1e-12) & (jnp.linalg.det(R) > 0)
-    t = t_vec / jnp.maximum(lam, 1e-12)[..., None]
+    lam_p = jnp.sum(R * M, axis=(-2, -1)) / 3.0               # trace(RᵀM)/3 = λ·s
+    lam = lam_p / s3d[..., 0]
+    ok = chol_ok & (lam > 1e-12) & (_det3(R) > 0)
+    Rc = jnp.sum(R * c3d[..., 0, None, :], axis=-1)            # (..., 3) R @ c
+    t = t_vec / jnp.maximum(lam, 1e-12)[..., None] - Rc
     return jnp.concatenate((matrix_to_quaternion(R), t), axis=-1), ok
 
 
 def _reproj_err(pose_R, pose_t, cam_K, pts3d, pts2d):
-    cam = pts3d @ jnp.swapaxes(pose_R, -1, -2) + pose_t[..., None, :]
-    h = cam @ jnp.swapaxes(cam_K, -1, -2)
+    cam = rot_pts(pts3d, pose_R) + pose_t[..., None, :]
+    h = rot_pts(cam, cam_K)
     uv = h[..., :2] / jnp.maximum(h[..., 2:3], 1e-6)
     behind = cam[..., 2] <= 0
     err = jnp.linalg.norm(uv - pts2d, axis=-1)

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geom.rotations import quaternion_to_matrix, skew_symmetric
+from ..ops.smallmat import rot_pts, mm_small
 
 
 def residual_with_jac6d(pose7: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
@@ -26,16 +27,19 @@ def residual_with_jac6d(pose7: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
     Derivation: camera point p = R(R(δ)X) + t + δt; at δ=0,
     ∂p/∂δ_rot = R·(−skew(X)) = R·skew(X)ᵀ, ∂p/∂δ_t = I. Projection u0 = p_xy/p_z has
     ∂u0/∂p = (1/z)[I₂ | −u0]; pixel uv = K₂ₓ₂·u0 + c.
+
+    All tiny contractions are VPU elementwise (see ops/smallmat.py) — this is the
+    innermost op of the LM solver and the LC covariance.
     """
     R = quaternion_to_matrix(pose7[..., :4])          # (..., 3, 3)
     t = pose7[..., 4:7]
-    p = pts3d @ jnp.swapaxes(R, -1, -2) + t[..., None, :]   # (..., N, 3)
+    p = rot_pts(pts3d, R) + t[..., None, :]           # (..., N, 3)
 
     inv_z = 1.0 / jnp.maximum(p[..., 2], min_z)       # (..., N)
     u0 = p[..., :2] * inv_z[..., None]                # (..., N, 2)
 
     K22 = cam_K[..., :2, :2]                          # (..., 2, 2)
-    uv = u0 @ jnp.swapaxes(K22, -1, -2) + cam_K[..., None, :2, 2]
+    uv = rot_pts(u0, K22) + cam_K[..., None, :2, 2]
     r = uv - pts2d
 
     # ∂u0/∂p = inv_z * [I2 | -u0]  -> (..., N, 2, 3)
@@ -44,10 +48,11 @@ def residual_with_jac6d(pose7: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
         (eye2, -u0[..., :, None]), axis=-1)
 
     # ∂p/∂δ_rot = R @ skew(X)ᵀ  -> (..., N, 3, 3)
-    dp_drot = R[..., None, :, :] @ jnp.swapaxes(skew_symmetric(pts3d), -1, -2)
+    dp_drot = mm_small(R[..., None, :, :],
+                       jnp.swapaxes(skew_symmetric(pts3d), -1, -2))
 
-    duv_dp = K22[..., None, :, :] @ du0_dp            # (..., N, 2, 3)
-    J = jnp.concatenate((duv_dp @ dp_drot, duv_dp), axis=-1)  # (..., N, 2, 6)
+    duv_dp = mm_small(K22[..., None, :, :], du0_dp)   # (..., N, 2, 3)
+    J = jnp.concatenate((mm_small(duv_dp, dp_drot), duv_dp), axis=-1)
     return r, J
 
 

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geom.pose import apply_perturb
+from ..ops.smallmat import outer_accum_6, weighted_jtr_6
 from .residual import residual_with_jac6d
 
 
@@ -75,10 +76,9 @@ def lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
 
     def gauss_newton_terms(pose):
         r, J = residual_with_jac6d(pose, cam_K, pts3d, pts2d)
-        wr = w2 * r                                           # (B, N, 2)
-        g = jnp.einsum('bnck,bnc->bk', J, wr)                 # (B, 6)
-        H = jnp.einsum('bnci,bncj,bnc->bij', J, J, w2)        # (B, 6, 6)
-        cost = 0.5 * jnp.sum(wr * r, axis=(-1, -2))
+        g = weighted_jtr_6(J, r, w2)                          # (B, 6)
+        H = outer_accum_6(J, w2)                              # (B, 6, 6)
+        cost = 0.5 * jnp.sum(w2 * r * r, axis=(-1, -2))
         return cost, g, H
 
     class Carry(NamedTuple):
@@ -112,7 +112,7 @@ def lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
                         min_lm_diagonal, max_lm_diagonal)
         mu = 1.0 / c.radius
         # (H + μ·diag(H)) — Ceres's DᵀD regularization with D = √diag(H)
-        H_lm = H + mu[:, None, None] * jnp.einsum('bi,ij->bij', diag, eye6)
+        H_lm = H + mu[:, None, None] * (eye6 * diag[:, None, :])
         L = jnp.linalg.cholesky(H_lm)
         chol_ok = jnp.logical_not(jnp.any(jnp.isnan(L), axis=(-1, -2)))
         L_safe = jnp.where(chol_ok[:, None, None], L, eye6)
@@ -121,9 +121,10 @@ def lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
         new_pose = apply_perturb(c.pose, delta)
         new_cost = _weighted_cost(new_pose, cam_K, pts3d, pts2d, w2)
 
-        # model decrease of 0.5 rᵀWr under the linearized step
-        model_decrease = -(jnp.einsum('bk,bk->b', g, delta)
-                           + 0.5 * jnp.einsum('bi,bij,bj->b', delta, H, delta))
+        # model decrease of 0.5 rᵀWr under the linearized step (VPU elementwise)
+        Hd = jnp.sum(H * delta[:, None, :], axis=-1)          # (B, 6)
+        model_decrease = -(jnp.sum(g * delta, axis=-1)
+                           + 0.5 * jnp.sum(delta * Hd, axis=-1))
         rho = (cost - new_cost) / jnp.maximum(model_decrease, 1e-30)
         accept = jnp.logical_and(chol_ok,
                                  jnp.logical_and(model_decrease > 0,
@@ -139,7 +140,13 @@ def lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
 
         converged = jnp.logical_and(
             accept, jnp.abs(cost - new_cost) <= function_tolerance * cost)
-        dead = new_radius < 1e-30  # trust region collapsed: give up, flag invalid
+        # trust-region collapse terminates with CONVERGENCE in Ceres (the model
+        # can no longer improve — we are at the optimum), min radius 1e-32
+        collapsed = new_radius <= 1e-32
+        # a vanishing predicted decrease also means we're at the optimum
+        stalled = jnp.logical_and(chol_ok,
+                                  model_decrease <= function_tolerance
+                                  * jnp.maximum(cost, 1e-30))
 
         active = jnp.logical_not(c.done)
         take = jnp.logical_and(active, accept)
@@ -150,8 +157,9 @@ def lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
             cost=cost_out,
             radius=jnp.where(active, new_radius, c.radius),
             decrease_factor=jnp.where(active, new_df, c.decrease_factor),
-            done=jnp.where(active, converged | dead | c.done, c.done),
-            failed=jnp.where(active, c.failed | dead, c.failed),
+            done=jnp.where(active, converged | collapsed | stalled | c.done,
+                           c.done),
+            failed=c.failed,
             it=c.it + 1,
             n_iter=c.n_iter + active.astype(jnp.int32),
         )

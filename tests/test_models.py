@@ -31,25 +31,25 @@ class TestLayers:
         np.testing.assert_allclose(np.asarray(conv), tout, atol=1e-4)
 
     def test_convtranspose_layout_matches_torch(self):
-        """Validate the ConvTranspose porting convention claimed in torch_port.py."""
+        """Deconv2x must reproduce torch ConvTranspose2d(k3, s2, p1, op1) exactly
+        when fed the same weights through the porting transpose."""
         import torch
-        from flax import linen as nn
-        rng = np.random.default_rng(2)
-        x = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
-        w = rng.normal(size=(4, 6, 3, 3)).astype(np.float32)  # torch (I, O, kH, kW)
-        tout = torch.nn.functional.conv_transpose2d(
-            torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(w),
-            stride=2, padding=1, output_padding=1).numpy().transpose(0, 2, 3, 1)
-
-        mod = nn.ConvTranspose(6, (3, 3), strides=(2, 2), padding='SAME',
-                               use_bias=False)
-        variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
-        kernel_shape = variables['params']['kernel'].shape
-        from lc_tpu.models.torch_port import _convT_w
-        ported = _convT_w(w)
-        assert ported.shape == kernel_shape, (ported.shape, kernel_shape)
-        out = mod.apply({'params': {'kernel': jnp.asarray(ported)}}, jnp.asarray(x))
-        np.testing.assert_allclose(np.asarray(out), tout, atol=1e-4)
+        from lc_tpu.models import layers as L
+        L.set_compute_dtype(jnp.float32)
+        try:
+            rng = np.random.default_rng(2)
+            x = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+            w = rng.normal(size=(4, 6, 3, 3)).astype(np.float32)  # (I, O, kH, kW)
+            tout = torch.nn.functional.conv_transpose2d(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(w),
+                stride=2, padding=1, output_padding=1).numpy().transpose(0, 2, 3, 1)
+            mod = L.Deconv2x(6)
+            from lc_tpu.models.torch_port import _convT_w
+            out = mod.apply({'params': {'kernel': jnp.asarray(_convT_w(w))}},
+                            jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(out), tout, atol=1e-4)
+        finally:
+            L.set_compute_dtype(jnp.bfloat16)
 
     def test_maxpool_matches_torch(self):
         import torch

@@ -62,7 +62,7 @@ class TestLM:
         np.testing.assert_allclose(np.asarray(res.pose7[:, 4:]), pose[:, 4:],
                                    atol=0.05)
         dot = np.abs(np.sum(np.asarray(res.pose7[:, :4]) * pose[:, :4], axis=-1))
-        assert np.all(dot > 1.0 - 1e-6)
+        assert np.all(dot > 1.0 - 5e-6)  # ≲0.2°; LM stops at function_tolerance
 
     def test_weighted_downweights_noisy_points(self):
         pose, Ks, pts3d, uv = make_problem(batch=4, n_pts=128)
