@@ -23,8 +23,8 @@ import numpy as np
 
 REFERENCE_CROPS_PER_SEC = 100.0  # provisional; see module docstring
 BATCH = 32
-WARMUP = 1
-ITERS = 10
+WARMUP = 12   # the first executions after compile run slow on this backend
+ITERS = 20
 
 
 def main():

@@ -57,6 +57,38 @@ def te_err(t_est, t_gt):
     return jnp.linalg.norm(t_est - t_gt, axis=-1)
 
 
+def mssd_err(R_est, t_est, R_gt, t_gt, pts, sym_R, sym_t):
+    """Maximum Symmetry-aware Surface Distance (BOP'19). sym_R (S, 3, 3),
+    sym_t (S, 3): symmetry transforms including identity. Reference
+    lib/utils/error6d.py:36-58."""
+    est = _transform(pts, R_est, t_est)                       # (..., N, 3)
+    R_sym = R_gt[..., None, :, :] @ sym_R                     # (..., S, 3, 3)
+    t_sym = (R_gt[..., None, :, :] @ sym_t[..., :, None])[..., 0] \
+        + t_gt[..., None, :]
+    gt_sym = _transform(pts[..., None, :, :], R_sym, t_sym)   # (..., S, N, 3)
+    d = jnp.linalg.norm(est[..., None, :, :] - gt_sym, axis=-1)
+    return jnp.min(jnp.max(d, axis=-1), axis=-1)
+
+
+def mspd_err(R_est, t_est, R_gt, t_gt, K, pts, sym_R, sym_t):
+    """Maximum Symmetry-aware Projection Distance (BOP'19). Reference
+    lib/utils/error6d.py:61-84."""
+    def project(R, t, p):
+        cam = _transform(p, R, t)
+        h = cam @ jnp.swapaxes(K, -1, -2)
+        return h[..., :2] / h[..., 2:3]
+
+    proj_est = project(R_est, t_est, pts)                     # (..., N, 2)
+    R_sym = R_gt[..., None, :, :] @ sym_R
+    t_sym = (R_gt[..., None, :, :] @ sym_t[..., :, None])[..., 0] \
+        + t_gt[..., None, :]
+    cam = _transform(pts[..., None, :, :], R_sym, t_sym)      # (..., S, N, 3)
+    h = cam @ jnp.swapaxes(K[..., None, :, :], -1, -2)
+    proj_sym = h[..., :2] / h[..., 2:3]
+    d = jnp.linalg.norm(proj_est[..., None, :, :] - proj_sym, axis=-1)
+    return jnp.min(jnp.max(d, axis=-1), axis=-1)
+
+
 def proj_err(R_est, t_est, R_gt, t_gt, K, pts):
     """Mean 2D projection distance (Brachmann CVPR'16)."""
     def project(R, t):

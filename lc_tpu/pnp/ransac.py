@@ -160,11 +160,26 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     n_inl = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0]
     best_pose = jnp.take_along_axis(pose_h, best[:, None, None], axis=1)[:, 0]
 
-    # final model: re-fit on the winning inlier set (OpenCV refines on inliers too)
+    # local optimization (LO-RANSAC): re-fit on the winning inlier set, polish
+    # with a short unweighted Gauss-Newton, then recount inliers with the
+    # polished model. The inhomogeneous DLT is a biased estimator (several px of
+    # systematic reprojection error under noise); without the polish the inlier
+    # set is undercounted and the returned pose inherits the bias.
+    from .solver import lm_refine
     refit_pose, refit_ok = dlt_pnp(cam_K, pts3d, pts2d, best_inl.astype(jnp.float32))
     enough = n_inl >= sample_size
     use_refit = refit_ok & enough
     pose = jnp.where(use_refit[:, None], refit_pose, best_pose)
+
+    polish = lm_refine(pose, cam_K, pts3d, pts2d,
+                       jnp.ones_like(pts2d), valid=best_inl & valid,
+                       max_iter=10)
+    pose = jnp.where(polish.invalid[:, None], pose, polish.pose7)
+
+    R_f = quaternion_to_matrix(pose[..., :4])
+    err_f = _reproj_err(R_f, pose[..., 4:7], cam_K, pts3d, pts2d)
+    best_inl = (err_f < thr[:, None]) & valid
+    n_inl = jnp.sum(best_inl, axis=-1)
 
     invalid = n_inl < 4
     return RansacResult(pose7=pose, invalid=invalid, inliers=best_inl,

@@ -76,9 +76,10 @@ class TestSolveDense:
         np.testing.assert_allclose(p[:, 4:], pose[:, 4:], atol=3.0)
 
     def test_binary_head_path(self):
-        """Dense solve through the Gray-code decode path."""
+        """Dense solve through the Gray-code decode path. noc_scale must bound the
+        model extent — clipped NOC values would corrupt the correspondences."""
         from lc_tpu import codec
-        out, gt, pose = synth_dense_out(noise=0.0)
+        out, gt, pose = synth_dense_out(noise=0.0, scale=250.0)
         bit_cnt = (7, 7, 7)
         noc = np.clip(np.asarray(out.pop('xyz_noc')), -0.999, 0.999)
         mod, _ = codec.noc_to_bits(jnp.asarray(noc), bit_cnt, False)
