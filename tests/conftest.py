@@ -5,10 +5,17 @@ import os
 # Force CPU regardless of the ambient JAX_PLATFORMS (the session may point at a
 # TPU backend); tests exercise sharding on the virtual 8-device CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the axon sitecustomize hard-sets jax_platforms via jax.config at interpreter
+# start; the env var alone does not win — override through the config too
+_FORCE_CPU_CONFIG = True
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+if _FORCE_CPU_CONFIG:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+assert jax.device_count() >= 8, (
+    f"expected the 8-device virtual CPU mesh, got {jax.devices()}")

@@ -220,8 +220,11 @@ class TestTorchPort:
                 y = t_block(f'{name}.{i}', y)
             feats[name] = y.numpy().transpose(0, 2, 3, 1)
 
-        np.testing.assert_allclose(np.asarray(f64), feats['layer1'], atol=2e-3)
-        np.testing.assert_allclose(np.asarray(high), feats['layer4'], atol=2e-2)
+        # fake weights let activations grow to ~1e6: compare relatively
+        np.testing.assert_allclose(np.asarray(f64), feats['layer1'],
+                                   rtol=5e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(high), feats['layer4'],
+                                   rtol=5e-3, atol=2e-2)
 
     @staticmethod
     def _stride(prefix):

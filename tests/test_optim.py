@@ -39,6 +39,9 @@ class TestRanger:
         """Minimize ||Wx - y||² for a tiny linear problem."""
         rng = np.random.default_rng(0)
         W_true = rng.normal(size=(4, 4)).astype(np.float32)
+        # gradient centralization never moves the row-mean of a 2D param from its
+        # init; make the optimum reachable by zero-centering W_true rows
+        W_true -= W_true.mean(axis=1, keepdims=True)
         x_in = rng.normal(size=(32, 4)).astype(np.float32)
         y = x_in @ W_true.T
         params = {'w': jnp.zeros((4, 4))}
