@@ -9,7 +9,8 @@ from lc_tpu import geom, inference
 K = np.array([[500.0, 0, 32.0], [0, 500.0, 32.0], [0, 0, 1]], np.float32)
 
 
-def synth_dense_out(batch=2, h=16, w=16, seed=0, noise=0.0, scale=100.0):
+def synth_dense_out(batch=2, h=16, w=16, seed=0, noise=0.0, scale=100.0,
+                    zrange=(380.0, 620.0)):
     """Build a perfect dense prediction for known poses: NOC such that
     project(K, noc*scale, R, t) == pixel grid."""
     rng = np.random.default_rng(seed)
@@ -18,7 +19,7 @@ def synth_dense_out(batch=2, h=16, w=16, seed=0, noise=0.0, scale=100.0):
                          rng.uniform(400, 600, (batch, 1))), -1).astype(np.float32)
     uv = np.asarray(geom.gen_uv((h, w))).reshape(-1, 2)
     # choose per-pixel depth, backproject into model frame
-    z = rng.uniform(380, 620, (batch, h * w, 1)).astype(np.float32)
+    z = rng.uniform(*zrange, (batch, h * w, 1)).astype(np.float32)
     homo = np.concatenate((np.broadcast_to(uv, (batch, h * w, 2)) * z, z), -1)
     xyz = np.asarray(geom.xyz_from_homo_z(
         jnp.asarray(homo), jnp.asarray(Rs), jnp.asarray(ts),
@@ -76,10 +77,13 @@ class TestSolveDense:
         np.testing.assert_allclose(p[:, 4:], pose[:, 4:], atol=3.0)
 
     def test_binary_head_path(self):
-        """Dense solve through the Gray-code decode path. noc_scale must bound the
-        model extent — clipped NOC values would corrupt the correspondences."""
+        """Dense solve through the Gray-code decode path. Object-like geometry:
+        a shallow depth field so 7-bit quantization stays ~1 mm (the production
+        regime), and a noc_scale that bounds the model extent (clipped NOC would
+        corrupt the correspondences)."""
         from lc_tpu import codec
-        out, gt, pose = synth_dense_out(noise=0.0, scale=250.0)
+        out, gt, pose = synth_dense_out(noise=0.0, scale=120.0,
+                                        zrange=(500.0, 560.0))
         bit_cnt = (7, 7, 7)
         noc = np.clip(np.asarray(out.pop('xyz_noc')), -0.999, 0.999)
         mod, _ = codec.noc_to_bits(jnp.asarray(noc), bit_cnt, False)

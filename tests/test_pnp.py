@@ -164,7 +164,10 @@ class TestCovariance:
             dt = res.pose7[..., 4:] - pose[..., 4:]
             return jnp.concatenate((aa, dt), axis=-1)[0]
 
-        eps = 0.05
+        # eps large enough that the perturbed LM solutions differ by much more
+        # than the f32 convergence noise floor (the map is near-linear over this
+        # range, so the secant still estimates the jacobian well)
+        eps = 0.5
         for (n_i, c_i) in [(0, 0), (5, 1), (17, 0)]:
             duv = np.zeros_like(np.asarray(uv))
             duv[0, n_i, c_i] = eps
