@@ -88,7 +88,8 @@ def train(args, cfg, outdir: str):
     if start_step >= num_steps:
         return state
 
-    key = jax.random.PRNGKey(1234)
+    from .utils.seeding import seed_all, step_key
+    root_key = seed_all(42)
     test_every = cfg.train.get('test_every', 0)
     test_start = cfg.train.get('test_start', 0)
     # test cadence is per-epoch for epoch mode, per-step for step mode
@@ -106,7 +107,8 @@ def train(args, cfg, outdir: str):
             data_iter = iter(comps['train_loader'])
             batch = next(data_iter)
 
-        key, k_pp, k_step = jax.random.split(key, 3)
+        # per-step keys derived from the step index: identical streams on resume
+        k_pp, k_step = jax.random.split(step_key(root_key, step))
         gt = device_preprocess({k: jnp.asarray(v) for k, v in batch.items()},
                                k_pp, **pp_kwargs)
         state, metrics = step_fn(state, gt, k_step)
