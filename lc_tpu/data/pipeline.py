@@ -228,13 +228,16 @@ class BOPDataset:
     def sample(self, index: int, rng: np.random.Generator):
         """Assemble one host blob; returns None for degenerate training crops
         (caller resamples)."""
-        import imageio.v2 as iio
         cv2 = self._cv2
         im_info, inst_info = self.annots[index]
         cfg = self.cfg
         train = self.training
-        rgb = np.asarray(iio.imread(
-            osp.join(cfg.dataset_root, im_info['rgb']), pilmode='RGB'))
+        # cv2.imread releases the GIL during PNG decode (threads actually scale)
+        bgr = cv2.imread(osp.join(cfg.dataset_root, im_info['rgb']),
+                         cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise FileNotFoundError(im_info['rgb'])
+        rgb = np.ascontiguousarray(bgr[..., ::-1])
         H, W = rgb.shape[:2]
         cam_K = im_info['cam_K']
         obj_id = inst_info['obj_id']
@@ -368,10 +371,12 @@ class BOPDataset:
 
     def _random_bg_crop(self, rng, in_wh):
         """Random resized crop of a random background image (dataset.py:137-148)."""
-        import imageio.v2 as iio
         cv2 = self._cv2
         path = self.bg_list[rng.integers(len(self.bg_list))]
-        bg = np.asarray(iio.imread(path, pilmode='RGB'))
+        bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise FileNotFoundError(path)
+        bg = np.ascontiguousarray(bgr[..., ::-1])
         bh, bw = bg.shape[:2]
         W, Hh = in_wh
         rw = max(int(rng.random() * bw), W)

@@ -66,12 +66,14 @@ def make_datasets(cfg, train: bool = True, seed: int = 0):
         b1 = int(batch * cfg.train_dataset_1.ratio)
         ds1 = BOPDataset(d1_cfg, cfg, train=True)
         ds0 = BOPDataset(cfg.train_dataset, cfg, train=True)
-        l1 = Loader(ds1, b1, seed=seed)
-        l0 = Loader(ds0, batch - b1, seed=seed + 1)
+        nw = max(cfg.dataloader.get('num_workers', 4) // 2, 1)
+        l1 = Loader(ds1, b1, seed=seed, num_threads=nw)
+        l0 = Loader(ds0, batch - b1, seed=seed + 1, num_threads=nw)
         return ds0, RatioMixLoader(l0, l1)
     ds_cfg = cfg.train_dataset if train else cfg.test_dataset
     ds = BOPDataset(ds_cfg, cfg, train=train)
-    loader = Loader(ds, batch, seed=seed, shuffle=train, drop_last=train)
+    loader = Loader(ds, batch, seed=seed, shuffle=train, drop_last=train,
+                    num_threads=cfg.dataloader.get('num_workers', 4))
     return ds, loader
 
 

@@ -35,13 +35,19 @@ def create_train_state(model, tx, rng, sample_input, loss_cfg: LossConfig
                        ) -> TrainState:
     variables = model.init(rng, sample_input, train=False)
     params = variables['params']
-    return TrainState(
+    state = TrainState(
         params=params,
         batch_stats=variables.get('batch_stats', {}),
         opt_state=tx.init(params),
         loss_state=init_loss_state(loss_cfg),
         step=jnp.zeros((), jnp.int32),
     )
+    # Donated-argument safety: jax caches small constants, so sibling leaves
+    # (e.g. the three clipper states' -1.0 init) can alias the same buffer —
+    # donating aliased buffers raises "donate the same buffer twice". Copy every
+    # leaf into its own buffer once.
+    return jax.tree.map(lambda x: jnp.asarray(x).copy() if hasattr(x, 'copy')
+                        else x, state)
 
 
 def make_train_step(model, tx, loss_cfg: LossConfig, *,

@@ -61,9 +61,10 @@ def lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
     weights: per-coordinate inverse variances, (B, N, 2) or (B, N); valid: (B, N) bool
     mask for padded points. All f32; linalg in f32 with SPD guards.
     """
+    dtype = jnp.result_type(pose7_init.dtype, jnp.float32)
     if weights.ndim == pts2d.ndim - 1:
         weights = weights[..., None]
-    w2 = jnp.broadcast_to(weights, pts2d.shape).astype(jnp.float32)
+    w2 = jnp.broadcast_to(weights, pts2d.shape).astype(dtype)
     if valid is not None:
         w2 = w2 * valid[..., None].astype(w2.dtype)
         n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)
@@ -72,7 +73,7 @@ def lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
 
     too_few = n_valid < 3
     B = pose7_init.shape[0]
-    eye6 = jnp.eye(6, dtype=jnp.float32)
+    eye6 = jnp.eye(6, dtype=dtype)
 
     def gauss_newton_terms(pose):
         r, J = residual_with_jac6d(pose, cam_K, pts3d, pts2d)
@@ -93,10 +94,10 @@ def lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
 
     cost0, _, _ = gauss_newton_terms(pose7_init)
     init = Carry(
-        pose=pose7_init.astype(jnp.float32),
-        cost=cost0,
-        radius=jnp.full((B,), initial_radius, jnp.float32),
-        decrease_factor=jnp.full((B,), 2.0, jnp.float32),
+        pose=pose7_init.astype(dtype),
+        cost=cost0.astype(dtype),
+        radius=jnp.full((B,), initial_radius, dtype),
+        decrease_factor=jnp.full((B,), 2.0, dtype),
         done=too_few,
         failed=too_few,
         it=jnp.zeros((), jnp.int32),

@@ -149,33 +149,38 @@ class TestCovariance:
 
     def test_jacobian_vs_lm_resolve_fd(self):
         """∂update/∂pts2d from the closed form must match finite differences of the
-        actual weighted LM solution."""
-        pose, Ks, pts3d, uv, w = self._setup(batch=1)
-        out = pnp.weighted_pnp_jac_cov(pose, Ks, pts3d, uv, w)
-        assert not np.asarray(out.invalid)[0]
+        actual weighted LM solution. Runs in f64: in f32 the LM's convergence
+        noise floor is on the order of the finite differences themselves."""
+        jax.config.update('jax_enable_x64', True)
+        try:
+            pose, Ks, pts3d, uv, w = [
+                jnp.asarray(np.asarray(a), jnp.float64)
+                for a in self._setup(batch=1)]
+            out = pnp.weighted_pnp_jac_cov(pose, Ks, pts3d, uv, w)
+            assert not np.asarray(out.invalid)[0]
 
-        def solve_local(uv_pert):
-            res = pnp.lm_refine(pose, Ks, pts3d, uv_pert, w,
-                                function_tolerance=1e-12, max_iter=100)
-            # local coordinates of solution relative to GT pose
-            dq = geom.quaternion_raw_multiply(
-                geom.quaternion_invert(pose[..., :4]), res.pose7[..., :4])
-            aa = geom.quaternion_to_axis_angle(dq)
-            dt = res.pose7[..., 4:] - pose[..., 4:]
-            return jnp.concatenate((aa, dt), axis=-1)[0]
+            def solve_local(uv_pert):
+                res = pnp.lm_refine(pose, Ks, pts3d, uv_pert, w,
+                                    function_tolerance=1e-14, max_iter=200)
+                # local coordinates of solution relative to GT pose
+                dq = geom.quaternion_raw_multiply(
+                    geom.quaternion_invert(pose[..., :4]), res.pose7[..., :4])
+                aa = geom.quaternion_to_axis_angle(dq)
+                dt = res.pose7[..., 4:] - pose[..., 4:]
+                return jnp.concatenate((aa, dt), axis=-1)[0]
 
-        # eps large enough that the perturbed LM solutions differ by much more
-        # than the f32 convergence noise floor (the map is near-linear over this
-        # range, so the secant still estimates the jacobian well)
-        eps = 0.5
-        for (n_i, c_i) in [(0, 0), (5, 1), (17, 0)]:
-            duv = np.zeros_like(np.asarray(uv))
-            duv[0, n_i, c_i] = eps
-            plus = np.asarray(solve_local(uv + duv))
-            minus = np.asarray(solve_local(uv - duv))
-            fd = (plus - minus) / (2 * eps)
-            np.testing.assert_allclose(np.asarray(out.jac[0, :, n_i, c_i]), fd,
-                                       rtol=0.05, atol=2e-4)
+            eps = 0.05
+            for (n_i, c_i) in [(0, 0), (5, 1), (17, 0)]:
+                duv = np.zeros_like(np.asarray(uv))
+                duv[0, n_i, c_i] = eps
+                plus = np.asarray(solve_local(uv + duv))
+                minus = np.asarray(solve_local(uv - duv))
+                fd = (plus - minus) / (2 * eps)
+                np.testing.assert_allclose(
+                    np.asarray(out.jac[0, :, n_i, c_i]), fd,
+                    rtol=0.05, atol=2e-4)
+        finally:
+            jax.config.update('jax_enable_x64', False)
 
     def test_cov_is_inverse_hessian(self):
         pose, Ks, pts3d, uv, w = self._setup()
