@@ -525,3 +525,81 @@ def device_preprocess(batch: dict, key: jax.Array, *, net_input_wh, net_output_w
         out['msk_vis'] = msk_vis
         out['msk_noc'] = msk_noc.astype(jnp.float32)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multiprocess loader (the reference's fork'd DataLoader workers equivalent)
+# ---------------------------------------------------------------------------
+
+_WORKER_DS: BOPDataset | None = None
+
+
+def _mp_init(cfg_dataset, cfg_global, train):
+    global _WORKER_DS
+    _WORKER_DS = BOPDataset(cfg_dataset, cfg_global, train=train)
+
+
+def _mp_make_batch(args):
+    idxs, seed = args
+    rng = np.random.default_rng(seed)
+    ds = _WORKER_DS
+    samples = []
+    for i in idxs:
+        blob = ds.sample(int(i), rng)
+        while blob is None:
+            blob = ds.sample(int(rng.integers(len(ds))), rng)
+        samples.append(blob)
+    return collate(samples)
+
+
+class MPLoader:
+    """Process-pool loader: one BOPDataset per worker (built in the initializer —
+    BOPDataset itself holds module handles and isn't picklable), batches come back
+    pickled. Python-GIL-free host decode, matching the reference's 8 fork'd
+    DataLoader workers (utils.py:31-43)."""
+
+    def __init__(self, cfg_dataset, cfg_global, *, batch_size: int,
+                 train: bool = True, seed: int = 0, num_workers: int = 8,
+                 prefetch: int = 4, shuffle: bool | None = None,
+                 drop_last: bool | None = None):
+        import concurrent.futures as cf
+        # a local dataset instance for metadata (bit_cnt, sizes, ...)
+        self.ds = BOPDataset(cfg_dataset, cfg_global, train=train)
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = train if shuffle is None else shuffle
+        self.drop_last = train if drop_last is None else drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+        self._pool = cf.ProcessPoolExecutor(
+            max_workers=num_workers, initializer=_mp_init,
+            initargs=(cfg_dataset, cfg_global, train))
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        rng = np.random.default_rng((self.seed, self.epoch))
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            rng.shuffle(order)
+        self.epoch += 1
+        n_batches = len(self)
+        jobs = [(order[i * self.batch_size:(i + 1) * self.batch_size],
+                 (self.seed, self.epoch, i)) for i in range(n_batches)]
+
+        import collections
+        pending = collections.deque()
+        it = iter(jobs)
+        for _ in range(min(self.prefetch, n_batches)):
+            pending.append(self._pool.submit(_mp_make_batch, next(it)))
+        for job in it:
+            batch = pending.popleft().result()
+            pending.append(self._pool.submit(_mp_make_batch, job))
+            yield batch
+        while pending:
+            yield pending.popleft().result()
+
+    def close(self):
+        self._pool.shutdown(wait=False, cancel_futures=True)

@@ -71,6 +71,11 @@ def make_datasets(cfg, train: bool = True, seed: int = 0):
         l0 = Loader(ds0, batch - b1, seed=seed + 1, num_threads=nw)
         return ds0, RatioMixLoader(l0, l1)
     ds_cfg = cfg.train_dataset if train else cfg.test_dataset
+    if train and cfg.dataloader.get('multiprocess', False):
+        from .data.pipeline import MPLoader
+        loader = MPLoader(ds_cfg, cfg, batch_size=batch, train=True, seed=seed,
+                          num_workers=cfg.dataloader.get('num_workers', 8))
+        return loader.ds, loader
     ds = BOPDataset(ds_cfg, cfg, train=train)
     loader = Loader(ds, batch, seed=seed, shuffle=train, drop_last=train,
                     num_threads=cfg.dataloader.get('num_workers', 4))

@@ -182,3 +182,19 @@ class TestSynthetic:
             jax.random.PRNGKey(0), net_input_wh=(64, 64),
             net_output_wh=(16, 16), train=False)
         assert gt['img_in'].shape == (1, 64, 64, 3)
+
+
+class TestMPLoader:
+    def test_multiprocess_loader(self, syn_root):
+        cfg_ds, cfg_g = make_cfgs(syn_root)
+        from lc_tpu.data.pipeline import MPLoader
+        loader = MPLoader(cfg_ds, cfg_g, batch_size=4, train=True, seed=0,
+                          num_workers=2, prefetch=2)
+        try:
+            batches = list(iter(loader))
+            assert len(batches) == len(loader)
+            b = batches[0]
+            assert b['rgb_in'].shape == (4, 64, 64, 3)
+            assert b['Rt_candi'].shape[0] == 4
+        finally:
+            loader.close()
