@@ -88,15 +88,16 @@ def main():
     key = jax.random.PRNGKey(0)
     for _ in range(WARMUP):
         jax.block_until_ready(pipeline(variables, frames, affines, key))
-    t0 = time.perf_counter()
+    times = []
     for i in range(ITERS):
         key, k = jax.random.split(key)
-        res = pipeline(variables, frames, affines, k)
-    jax.block_until_ready(res)
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(pipeline(variables, frames, affines, k))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))  # robust to backend scheduling hiccups
 
     n_chips = max(jax.device_count(), 1)
-    crops_per_sec_chip = BATCH * ITERS / dt / n_chips
+    crops_per_sec_chip = BATCH / dt / n_chips
     print(json.dumps({
         "metric": "crops/sec/chip end-to-end (crop->CNN->PnP)",
         "value": round(crops_per_sec_chip, 2),
