@@ -277,18 +277,20 @@ class BOPDataset:
         # no hardware gather, so a rotated device warp is ~100× slower than the
         # axis-aligned separable-matmul crop used otherwise.
         host_warp = self.host_warp
+        with_bg = bool(self.bg_list)
         if host_warp:
             rgb_in = cv2.warpAffine(rgb, in_aff, in_wh, flags=cv2.INTER_LINEAR)
             blob0 = {
                 'rgb_in': rgb_in.astype(np.uint8),
-                'msk_in': (cv2.warpAffine(msk_visib, in_aff, in_wh,
-                                          flags=cv2.INTER_LINEAR)
-                           * 255).astype(np.uint8),
                 'msk_vis_small': cv2.warpAffine(
                     msk_visib, out_aff, out_wh,
                     flags=cv2.INTER_NEAREST if self.mask_nearest
                     else cv2.INTER_LINEAR).astype(np.float32),
             }
+            if with_bg:
+                blob0['msk_in'] = (cv2.warpAffine(
+                    msk_visib, in_aff, in_wh, flags=cv2.INTER_LINEAR)
+                    * 255).astype(np.uint8)
         else:
             blob0 = {
                 'rgb_full': rgb,
@@ -314,9 +316,7 @@ class BOPDataset:
             blob['model_transform'] = m_info['xform'].astype(np.float32)
 
         if not train:
-            blob['switch_bg'] = np.bool_(False)
             blob['pixel_aug'] = np.bool_(False)
-            blob['bg_crop'] = np.zeros(in_wh[::-1] + (3,), np.uint8)
             return blob
 
         # --- training-only parts ---
@@ -347,12 +347,11 @@ class BOPDataset:
                 .astype(np.float32)
         cands, cand_valid = pad_candidates(cands, self.max_candidates)
 
-        switch_bg = bool(self.bg_list) and rng.random() < cfg.get(
-            'switch_bg_prob', 0)
-        if switch_bg:
-            blob['bg_crop'] = self._random_bg_crop(rng, in_wh)
-        else:
-            blob['bg_crop'] = np.zeros(in_wh[::-1] + (3,), np.uint8)
+        if with_bg:
+            switch_bg = rng.random() < cfg.get('switch_bg_prob', 0)
+            blob['switch_bg'] = np.bool_(switch_bg)
+            blob['bg_crop'] = (self._random_bg_crop(rng, in_wh) if switch_bg
+                               else np.zeros(in_wh[::-1] + (3,), np.uint8))
 
         blob.update({
             'homo_z_out': homo_z_out.astype(np.float32),
@@ -364,7 +363,6 @@ class BOPDataset:
             'candi_valid': cand_valid,
             'bbox_3d': m_info['bbox_3d_ori'].astype(np.float32),
             'diameter': np.float32(m_info['diameter']),
-            'switch_bg': np.bool_(switch_bg),
             'pixel_aug': np.bool_(rng.random() < cfg.get('pixel_aug_prob', 0)),
         })
         return blob
@@ -490,7 +488,9 @@ def device_preprocess(batch: dict, key: jax.Array, *, net_input_wh, net_output_w
 
     if train:
         if host_warped:
-            msk_in = batch['msk_in'].astype(jnp.float32) / 255.0
+            msk_in = batch.get('msk_in')
+            if msk_in is not None:
+                msk_in = msk_in.astype(jnp.float32) / 255.0
             msk_vis = batch['msk_vis_small']
             msk_noc = batch['msk_noc_small'] > 0.5
         else:
@@ -502,9 +502,10 @@ def device_preprocess(batch: dict, key: jax.Array, *, net_input_wh, net_output_w
                 'nearest' if mask_nearest else 'bilinear')[..., 0]
             msk_noc = batched_separable_warp(
                 msk_full, batch['out_affine'], out_hw, 'nearest')[..., 0] > 0.5
-        rgb_in = switch_background(rgb_in, msk_in,
-                                   batch['bg_crop'].astype(jnp.float32),
-                                   batch['switch_bg'])
+        if 'bg_crop' in batch:
+            rgb_in = switch_background(rgb_in, msk_in,
+                                       batch['bg_crop'].astype(jnp.float32),
+                                       batch['switch_bg'])
         k_aug, key = jax.random.split(key)
         auged = color_augment(rgb_in, k_aug, use_pepper_salt=use_pepper_salt,
                               use_motion_blur=use_motion_blur,
@@ -603,3 +604,62 @@ class MPLoader:
 
     def close(self):
         self._pool.shutdown(wait=False, cancel_futures=True)
+
+
+def device_prefetch(host_iter, preprocess_fn, keys, size: int = 2):
+    """Overlap host->device transfer + preprocessing with device compute.
+
+    host_iter yields host batches; preprocess_fn(batch_dev, key) -> gt blob;
+    keys is an iterator of PRNG keys (one per step). Dispatches `size` batches
+    ahead (JAX dispatch is async, so the transfers and the preprocessing program
+    run while the previous train step executes).
+    """
+    import collections
+    buf = collections.deque()
+
+    def stage(batch):
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        return preprocess_fn(dev, next(keys))
+
+    it = iter(host_iter)
+    try:
+        for _ in range(size):
+            buf.append(stage(next(it)))
+    except StopIteration:
+        pass
+    for batch in it:
+        out = buf.popleft()
+        buf.append(stage(batch))
+        yield out
+    while buf:
+        yield buf.popleft()
+
+
+def _mploader_endless(loader: 'MPLoader'):
+    """Continuous batch stream: keeps `prefetch` jobs in flight across epoch
+    boundaries (per-epoch iterators stall small datasets; real ones amortize)."""
+    import collections
+
+    def jobs():
+        epoch = 0
+        while True:
+            rng = np.random.default_rng((loader.seed, epoch))
+            order = np.arange(len(loader.ds))
+            if loader.shuffle:
+                rng.shuffle(order)
+            for i in range(len(loader)):
+                yield (order[i * loader.batch_size:(i + 1) * loader.batch_size],
+                       (loader.seed, epoch, i))
+            epoch += 1
+
+    pending = collections.deque()
+    job_iter = jobs()
+    for _ in range(loader.prefetch):
+        pending.append(loader._pool.submit(_mp_make_batch, next(job_iter)))
+    while True:
+        batch = pending.popleft().result()
+        pending.append(loader._pool.submit(_mp_make_batch, next(job_iter)))
+        yield batch
+
+
+MPLoader.endless = lambda self: _mploader_endless(self)

@@ -99,24 +99,37 @@ def train(args, cfg, outdir: str):
 
     step = start_step
     t0 = time.time()
-    data_iter = iter(comps['train_loader'])
-    while step < num_steps:
-        try:
-            batch = next(data_iter)
-        except StopIteration:
-            data_iter = iter(comps['train_loader'])
-            batch = next(data_iter)
 
+    def endless_batches():
+        loader = comps['train_loader']
+        if hasattr(loader, 'endless'):  # MPLoader: stream across epoch boundaries
+            yield from loader.endless()
+        while True:
+            for b in loader:
+                yield b
+
+    def pp_keys():
         # per-step keys derived from the step index: identical streams on resume
-        k_pp, k_step = jax.random.split(step_key(root_key, step))
-        gt = device_preprocess({k: jnp.asarray(v) for k, v in batch.items()},
-                               k_pp, **pp_kwargs)
+        s = start_step
+        while True:
+            yield jax.random.split(step_key(root_key, s))[0]
+            s += 1
+
+    from .data.pipeline import device_prefetch
+    gt_iter = device_prefetch(
+        endless_batches(),
+        lambda dev, k: device_preprocess(dev, k, **pp_kwargs),
+        keys=pp_keys(), size=2)
+
+    while step < num_steps:
+        gt = next(gt_iter)
+        k_step = jax.random.split(step_key(root_key, step))[1]
         state, metrics = step_fn(state, gt, k_step)
         step += 1
 
         if step % 20 == 0 or step == 1:
             m = {k: float(v) for k, v in metrics.items()}
-            rate = 20 * len(batch['out_K']) / max(time.time() - t0, 1e-9)
+            rate = 20 * gt['out_K'].shape[0] / max(time.time() - t0, 1e-9)
             t0 = time.time()
             logger.info('step %d/%d  %s  (%.1f crops/s)', step, num_steps,
                         ' '.join(f'{k}={v:.4f}' for k, v in m.items()), rate)
