@@ -160,13 +160,14 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     n_inl = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0]
     best_pose = jnp.take_along_axis(pose_h, best[:, None, None], axis=1)[:, 0]
 
-    # local optimization (LO-RANSAC): re-fit on the winning inlier set, polish
-    # with a short unweighted Gauss-Newton, then recount inliers with the
-    # polished model. The inhomogeneous DLT is a biased estimator (several px of
-    # systematic reprojection error under noise); without the polish the inlier
-    # set is undercounted and the returned pose inherits the bias.
+    # local optimization (LO-RANSAC): re-fit on the winning inlier set with EPnP
+    # (OpenCV's final on-inliers estimator), polish with a short unweighted
+    # Gauss-Newton, then recount inliers with the polished model. Without the
+    # polish the minimal-sample estimators' bias (several px of systematic
+    # reprojection error under noise) undercounts the inlier set.
     from .solver import lm_refine
-    refit_pose, refit_ok = dlt_pnp(cam_K, pts3d, pts2d, best_inl.astype(jnp.float32))
+    from .epnp import epnp
+    refit_pose, refit_ok = epnp(cam_K, pts3d, pts2d, best_inl.astype(jnp.float32))
     enough = n_inl >= sample_size
     use_refit = refit_ok & enough
     pose = jnp.where(use_refit[:, None], refit_pose, best_pose)

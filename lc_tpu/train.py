@@ -147,7 +147,10 @@ def train(args, cfg, outdir: str):
         ckpter.step(state, step=step, score=score)
 
     ckpter.save(state, step=step, score=-1.0)
-    ckpter.finish(state, osp.join(outdir, 'model_final.ckpt'),
+    # final exports are plain {'params','batch_stats'} variables — lc_tpu.test
+    # loads them without reconstructing the optimizer (reference exports the
+    # model-only state dict too, checkpoint.py:251 finalize_model)
+    ckpter.finish(eval_variables(state), osp.join(outdir, 'model_final.ckpt'),
                   osp.join(outdir, 'model_best'))
     return state
 

@@ -130,7 +130,9 @@ class Checkpoint:
 
     def finish(self, state, final_path: str, best_prefix: str):
         """Export model_final + best (by score) and delete rotations
-        (reference checkpoint.py:92-110)."""
+        (reference checkpoint.py:92-110). `state` here is conventionally the
+        inference variables ({'params','batch_stats'}), not the full TrainState —
+        final exports load without optimizer reconstruction."""
         _atomic_write(final_path, self._serialize(state, {'step': -1}))
         best = []
         if osp.isdir(self.best_dir):

@@ -234,3 +234,27 @@ class TestCovariance:
         (cot,) = vjp(g)
         np.testing.assert_allclose(np.asarray(cot)[:, 0],
                                    -np.asarray(g) / 4.0, rtol=1e-5)
+
+
+class TestEPnP:
+    def test_recovers_pose_noiseless(self):
+        from lc_tpu.pnp.epnp import epnp
+        pose, Ks, pts3d, uv = make_problem(batch=4, n_pts=32, seed=13)
+        p7, ok = epnp(jnp.asarray(Ks), jnp.asarray(pts3d), jnp.asarray(uv))
+        assert np.all(np.asarray(ok))
+        np.testing.assert_allclose(np.asarray(p7[:, 4:]), pose[:, 4:], atol=1.0)
+        dot = np.abs(np.sum(np.asarray(p7[:, :4]) * pose[:, :4], axis=-1))
+        assert np.all(dot > 0.9999)
+
+    def test_weighted_mask(self):
+        """Masked-out garbage points must not affect the solution."""
+        from lc_tpu.pnp.epnp import epnp
+        pose, Ks, pts3d, uv = make_problem(batch=2, n_pts=48, seed=17)
+        uv2 = uv.copy()
+        uv2[:, :16] += 200.0
+        w = np.ones((2, 48), np.float32)
+        w[:, :16] = 0.0
+        p7, ok = epnp(jnp.asarray(Ks), jnp.asarray(pts3d), jnp.asarray(uv2),
+                      jnp.asarray(w))
+        assert np.all(np.asarray(ok))
+        np.testing.assert_allclose(np.asarray(p7[:, 4:]), pose[:, 4:], atol=1.5)
