@@ -28,9 +28,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import bop, rle
+from . import bop
 from .augment import color_augment, switch_background
-from .crop import batched_affine_warp, batched_separable_warp
+from .crop import batched_separable_warp
 from .model_info import load_composed_model_info
 from ..geom.affine import crop_affine, affine33
 from ..geom.symmetry import symmetry_pose_candidates, pad_candidates

@@ -17,7 +17,6 @@ from .eval.evaluator import Evaluator, gen_score_table
 from .geom.pose import pose7_to_RT
 from .loss import LossConfig
 from .models import build_model
-from .optim.factory import build_optimizer
 
 logger = logging.getLogger(__name__)
 

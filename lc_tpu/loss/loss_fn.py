@@ -7,7 +7,7 @@ observed activation-gradient norms come back through grad_tap dummies (see clip.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

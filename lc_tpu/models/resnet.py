@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import jax
 from flax import linen as nn
 
 from .layers import BatchNorm, Conv, conv_init, max_pool_3x3_s2

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import BatchNorm, Conv, ConvTranspose, conv_init, ConvTransposeBNReLU
+from .layers import BatchNorm, Conv, conv_init, ConvTransposeBNReLU
 from .resnet import ZebraResNetOS8
 
 

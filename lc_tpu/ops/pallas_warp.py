@@ -25,9 +25,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from ..geom.affine import invert_affine
 from ..data.crop import batched_separable_warp
 
 

@@ -7,9 +7,6 @@ the optimizer.
 """
 from __future__ import annotations
 
-from bisect import bisect_right
-import math
-
 import jax.numpy as jnp
 
 

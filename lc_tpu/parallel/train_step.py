@@ -11,7 +11,6 @@ The reference's equivalent is the hot loop at train.py:52-72 plus the backward h
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax

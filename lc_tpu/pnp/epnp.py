@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geom.rotations import matrix_to_quaternion
-from ..ops.smallmat import mm_small, rot_pts
+from ..ops.smallmat import rot_pts
 
 
 def _control_points(pts3d: jax.Array, w: jax.Array) -> jax.Array:

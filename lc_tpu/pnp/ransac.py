@@ -22,7 +22,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..geom.pose import RT_to_pose7
 from ..geom.rotations import matrix_to_quaternion
 from ..ops.smallmat import rot_pts, mm_small
 

@@ -15,7 +15,6 @@ import os.path as osp
 import pickle
 import re
 
-import numpy as np
 from flax import serialization
 
 
