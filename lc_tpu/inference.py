@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from .geom.projection import gen_uv
 from .loss.targets import nn_out_to_xyz
 from .pnp.ransac import ransac_pnp
-from .pnp.solver import lm_refine
+from .pnp.solver import lm_refine_auto as lm_refine
 
 
 def quantile_mask(den_inv_std2d: jax.Array, quantile) -> jax.Array:

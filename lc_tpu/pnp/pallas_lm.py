@@ -33,10 +33,14 @@ def _lm_kernel(meta_ref, pose_ref, K_ref, X_ref, x2d_ref, w_ref,
                out_pose_ref, out_stat_ref, *, max_iter: int,
                function_tolerance: float, min_relative_decrease: float,
                initial_radius: float):
-    """One problem. Blocks: pose (1, 8) [quat4, t3, pad]; K (1, 4) [fx, skew, fy,
-    cx|cy packed below]; X (1, 3, N); x2d (1, 2, N); w (1, 2, N);
-    meta (1, 2) [n_valid, pad]. Outputs: pose (1, 8), stat (1, 4)
-    [invalid, cost, n_iter, radius]."""
+    """One problem per grid step. Per-problem blocks: X/x2d/w (1, ch, N) VMEM;
+    the small per-problem scalars (meta (B, 8), pose (B, 8), K (B, 8)) and the
+    outputs (pose (B, 8), stat (B, 8)) are full-array VMEM blocks indexed by
+    program_id (Mosaic requires block trailing dims divisible by (8, 128) or
+    equal to the array's — tiny per-row blocks are rejected)."""
+    import jax.experimental.pallas as pl
+
+    b = pl.program_id(0)
     N = X_ref.shape[2]
     X0 = X_ref[0, 0, :]
     X1 = X_ref[0, 1, :]
@@ -46,12 +50,12 @@ def _lm_kernel(meta_ref, pose_ref, K_ref, X_ref, x2d_ref, w_ref,
     wu = w_ref[0, 0, :]
     wv = w_ref[0, 1, :]
 
-    fx = K_ref[0, 0]
-    k01 = K_ref[0, 1]
-    fy = K_ref[0, 2]
-    cx = K_ref[0, 3]
-    cy = K_ref[0, 4]
-    n_valid = meta_ref[0, 0]
+    fx = K_ref[b, 0]
+    k01 = K_ref[b, 1]
+    fy = K_ref[b, 2]
+    cx = K_ref[b, 3]
+    cy = K_ref[b, 4]
+    n_valid = meta_ref[b, 0]
 
     # skew-cross basis rows: C_k = e_k × X
     C00, C01, C02 = jnp.zeros_like(X0), -X2, X1
@@ -180,8 +184,8 @@ def _lm_kernel(meta_ref, pose_ref, K_ref, X_ref, x2d_ref, w_ref,
         t_new = jnp.stack([t[0] + delta[3], t[1] + delta[4], t[2] + delta[5]])
         return q_new, t_new
 
-    q0 = jnp.stack([pose_ref[0, i] for i in range(4)])
-    t0 = jnp.stack([pose_ref[0, 4 + i] for i in range(3)])
+    q0 = jnp.stack([pose_ref[b, i] for i in range(4)])
+    t0 = jnp.stack([pose_ref[b, 4 + i] for i in range(3)])
     cost0, _, _ = gn_terms(q0, t0)
 
     too_few = n_valid < 3.0
@@ -238,15 +242,12 @@ def _lm_kernel(meta_ref, pose_ref, K_ref, X_ref, x2d_ref, w_ref,
     invalid = jnp.logical_or(too_few, ran_out)
     q_fin = jnp.where(invalid, q0, q)
     t_fin = jnp.where(invalid, t0, t)
-    for i in range(4):
-        out_pose_ref[0, i] = q_fin[i]
-    for i in range(3):
-        out_pose_ref[0, 4 + i] = t_fin[i]
-    out_pose_ref[0, 7] = jnp.zeros(())
-    out_stat_ref[0, 0] = jnp.where(invalid, 1.0, 0.0)
-    out_stat_ref[0, 1] = cost
-    out_stat_ref[0, 2] = it
-    out_stat_ref[0, 3] = radius
+    row = jnp.stack([q_fin[0], q_fin[1], q_fin[2], q_fin[3],
+                     t_fin[0], t_fin[1], t_fin[2], jnp.zeros(())])
+    out_pose_ref[b, :] = row
+    out_stat_ref[b, :] = jnp.stack([
+        jnp.where(invalid, 1.0, 0.0), cost, it, radius,
+        jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(())])
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -285,19 +286,26 @@ def pallas_lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
                           cam_K[:, 0, 2], cam_K[:, 1, 2],
                           jnp.zeros((B,)), jnp.zeros((B,)), jnp.zeros((B,))],
                          axis=-1).astype(jnp.float32)
-    meta = jnp.stack([n_valid, jnp.zeros((B,))], axis=-1)
+    meta = jnp.stack([n_valid] + [jnp.zeros((B,))] * 7, axis=-1)
+    # full-array blocks must also satisfy the (8, 128) row tiling: pad B to 8
+    Bp = (-B) % 8
+    if Bp:
+        pose_in = jnp.pad(pose_in, ((0, Bp), (0, 0)))
+        K_packed = jnp.pad(K_packed, ((0, Bp), (0, 0)))
+        meta = jnp.pad(meta, ((0, Bp), (0, 0)))
 
     kernel = functools.partial(
         _lm_kernel, max_iter=max_iter, function_tolerance=function_tolerance,
         min_relative_decrease=1e-3, initial_radius=1e4)
 
+    Bfull = B + Bp
     out_pose, out_stat = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((Bfull, 8), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bfull, 8), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bfull, 8), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, Np), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, Np), lambda b: (b, 0, 0),
@@ -306,16 +314,17 @@ def pallas_lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 8), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((Bfull, 8), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bfull, 8), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, 8), jnp.float32),
-            jax.ShapeDtypeStruct((B, 4), jnp.float32),
+            jax.ShapeDtypeStruct((Bfull, 8), jnp.float32),
+            jax.ShapeDtypeStruct((Bfull, 8), jnp.float32),
         ),
         interpret=interpret,
     )(meta, pose_in, K_packed, X, x2, wT)
 
-    return LMResult(pose7=out_pose[:, :7], invalid=out_stat[:, 0] > 0.5,
-                    cost=out_stat[:, 1], n_iter=out_stat[:, 2].astype(jnp.int32),
-                    radius=out_stat[:, 3])
+    return LMResult(pose7=out_pose[:B, :7], invalid=out_stat[:B, 0] > 0.5,
+                    cost=out_stat[:B, 1],
+                    n_iter=out_stat[:B, 2].astype(jnp.int32),
+                    radius=out_stat[:B, 3])

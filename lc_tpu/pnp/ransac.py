@@ -164,7 +164,7 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     # Gauss-Newton, then recount inliers with the polished model. Without the
     # polish the minimal-sample estimators' bias (several px of systematic
     # reprojection error under noise) undercounts the inlier set.
-    from .solver import lm_refine
+    from .solver import lm_refine_auto as lm_refine
     from .epnp import epnp
     refit_pose, refit_ok = epnp(cam_K, pts3d, pts2d, best_inl.astype(jnp.float32))
     enough = n_inl >= sample_size

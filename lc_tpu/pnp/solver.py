@@ -173,3 +173,25 @@ def lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
     pose = jnp.where(invalid[:, None], pose7_init, out.pose)
     return LMResult(pose7=pose, invalid=invalid, cost=out.cost,
                     n_iter=out.n_iter, radius=out.radius)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ('tpu', 'axon')
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def lm_refine_auto(pose7_init, cam_K, pts3d, pts2d, weights, valid=None, *,
+                   max_iter: int = 50, function_tolerance: float = 1e-6):
+    """LM refine with backend dispatch: the fused Pallas kernel on TPU (each
+    problem stops at its own convergence, everything VMEM-resident — measured
+    ~650x faster than the lockstep XLA while_loop on hard 1024-point batches),
+    the XLA solver elsewhere. Dispatch happens at trace time."""
+    if _on_tpu():
+        from .pallas_lm import pallas_lm_refine
+        return pallas_lm_refine(pose7_init, cam_K, pts3d, pts2d, weights,
+                                valid, max_iter=max_iter,
+                                function_tolerance=function_tolerance)
+    return lm_refine(pose7_init, cam_K, pts3d, pts2d, weights, valid,
+                     max_iter=max_iter, function_tolerance=function_tolerance)
