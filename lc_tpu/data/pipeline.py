@@ -191,27 +191,26 @@ class BOPDataset:
         return (m > 127).astype(np.float32)
 
     def _homo_z_full(self, im_info, inst_info, size_hw, fill_hole=True):
-        """gzip z_crop -> full-image (u·z, v·z, z) map + mask (dataset.py:287-311)."""
+        """gzip z_crop -> full-image (u·z, v·z, z) map + mask (dataset.py:287-311).
+
+        Expansion runs in the native OpenMP kernel when native/liblcdata.so is
+        built (see data/native.py; numpy fallback otherwise)."""
+        from . import native
         path = osp.join(self.cfg.dataset_root,
                         bop.z_crop_path(im_info, inst_info))
         with gzip.open(path, 'rb') as f:
             zi = pickle.load(f)
-        homo_z = np.zeros(size_hw + (3,), np.float32)
-        msk_full = np.zeros(size_hw, np.float32)
-        (x1, y1, x2, y2) = zi['xyxy']
         z_crop, z_max, z_min = zi['z_crop'], zi['z_max'], zi['z_min']
         if z_max == 0:
             raise RuntimeError('no target in ROI')
-        msk = z_crop != 0
         if fill_hole:
-            z_crop = self._cv2.medianBlur(z_crop, ksize=3)
-        v, u = np.nonzero(msk)
-        z = (z_crop[msk] - 1).astype(np.float32) * \
-            ((z_max - z_min) / 65534) + z_min
-        u1, v1 = u + x1, v + y1
-        homo_z[v1, u1] = np.stack(
-            (u1 + 0.5, v1 + 0.5, np.ones_like(u1)), axis=-1) * z[:, None]
-        msk_full[y1:y2 + 1, x1:x2 + 1] = msk
+            keep = z_crop != 0
+            z_crop = native.median3_u16(np.ascontiguousarray(z_crop))
+            # the reference keeps the pre-blur mask: blurred-to-zero pixels inside
+            # it decode to z_min (value 1), and the blur never grows the mask
+            z_crop = np.where(keep, np.maximum(z_crop, 1), 0).astype(np.uint16)
+        homo_z, msk_full = native.zcrop_expand(
+            z_crop, zi['xyxy'], float(z_min), float(z_max), size_hw)
         return homo_z, msk_full
 
     def _aug_bbox(self, bbox_xyxy, H, W, rng):
