@@ -405,6 +405,7 @@ class Loader:
         self.num_threads = max(num_threads, 1)
         self.prefetch = prefetch
         self.epoch = 0
+        self._skip = 0
 
     def __len__(self):
         n = len(self.ds)
@@ -416,17 +417,28 @@ class Loader:
             blob = self.ds.sample(int(rng.integers(len(self.ds))), rng)
         return blob
 
+    def set_position(self, batch_index: int):
+        """Resume the deterministic (seed, epoch)-keyed shuffle stream at a global
+        batch index: the next epoch iterated is batch_index // len(self) and its
+        first batch_index % len(self) batches are skipped. The reference restores
+        the torch DataLoader RNG on resume (checkpoint.py); here the shuffle order
+        is a pure function of (seed, epoch) so position alone suffices."""
+        n = len(self)
+        if n:
+            self.epoch, self._skip = divmod(int(batch_index), n)
+
     def __iter__(self):
         rng = np.random.default_rng((self.seed, self.epoch))
         order = np.arange(len(self.ds))
         if self.shuffle:
             rng.shuffle(order)
         self.epoch += 1
+        skip, self._skip = self._skip, 0
         n_batches = len(self)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
-                   for i in range(n_batches)]
+                   for i in range(skip, n_batches)]
         lock = threading.Lock()
         cursor = [0]
 
@@ -634,22 +646,30 @@ def device_prefetch(host_iter, preprocess_fn, keys, size: int = 2):
         yield buf.popleft()
 
 
-def _mploader_endless(loader: 'MPLoader'):
+def _mploader_endless(loader: 'MPLoader', start: int = 0):
     """Continuous batch stream: keeps `prefetch` jobs in flight across epoch
-    boundaries (per-epoch iterators stall small datasets; real ones amortize)."""
+    boundaries (per-epoch iterators stall small datasets; real ones amortize).
+
+    `start` resumes at a global batch index. Every batch is a pure function of
+    (seed, epoch, i) — the shuffle order keys on (seed, epoch) and each batch's
+    sampling RNG on (seed, epoch, i), independent of worker assignment — so a
+    resumed stream is bit-identical to the uninterrupted one (the reference
+    restores the DataLoader RNG state on resume for the same effect)."""
     import collections
 
     def jobs():
-        epoch = 0
+        n = len(loader)
+        epoch, i0 = divmod(int(start), n) if n else (0, 0)
         while True:
             rng = np.random.default_rng((loader.seed, epoch))
             order = np.arange(len(loader.ds))
             if loader.shuffle:
                 rng.shuffle(order)
-            for i in range(len(loader)):
+            for i in range(i0, n):
                 yield (order[i * loader.batch_size:(i + 1) * loader.batch_size],
                        (loader.seed, epoch, i))
             epoch += 1
+            i0 = 0
 
     pending = collections.deque()
     job_iter = jobs()
@@ -661,4 +681,4 @@ def _mploader_endless(loader: 'MPLoader'):
         yield batch
 
 
-MPLoader.endless = lambda self: _mploader_endless(self)
+MPLoader.endless = lambda self, start=0: _mploader_endless(self, start)

@@ -92,6 +92,14 @@ class RatioMixLoader:
     def __len__(self):
         return max(len(self.l0), len(self.l1))
 
+    def set_position(self, batch_index: int):
+        """Resume both sub-streams at the given global (mixed-)batch index: each
+        sub-loader has consumed exactly that many of its own batches."""
+        self.l0.set_position(batch_index)
+        self.l1.set_position(batch_index)
+        self.i0 = iter(self.l0)
+        self.i1 = iter(self.l1)
+
     def _next(self, which: int):
         it = self.i0 if which == 0 else self.i1
         try:

@@ -101,9 +101,15 @@ def train(args, cfg, outdir: str):
     t0 = time.time()
 
     def endless_batches():
+        # resume continues the deterministic shuffle stream at batch start_step
+        # (reference restores DataLoader RNG state on resume; here the stream is
+        # a pure function of (seed, position) so the position alone suffices)
         loader = comps['train_loader']
         if hasattr(loader, 'endless'):  # MPLoader: stream across epoch boundaries
-            yield from loader.endless()
+            yield from loader.endless(start=start_step)
+            return
+        if hasattr(loader, 'set_position'):
+            loader.set_position(start_step)
         while True:
             for b in loader:
                 yield b

@@ -125,6 +125,9 @@ class Checkpoint:
                 return state, aux
             except Exception as e:  # noqa: BLE001 — skip corrupt, keep scanning
                 logger.warning('skipping unloadable checkpoint %s: %s', path, e)
+        logger.warning('no checkpoint to resume from in %s; starting fresh '
+                       '(finish() clears resume checkpoints on normal exit)',
+                       ckpt_path or self.dir)
         return state_template, {'step': 0}
 
     def finish(self, state, final_path: str, best_prefix: str):

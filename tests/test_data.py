@@ -184,6 +184,38 @@ class TestSynthetic:
         assert gt['img_in'].shape == (1, 64, 64, 3)
 
 
+class TestLoaderResume:
+    def test_set_position_resumes_shuffle_stream(self, syn_root):
+        """A resumed Loader continues the exact (seed, epoch)-keyed shuffle
+        stream: batches after set_position(k) equal batches k.. of an
+        uninterrupted run. Uses an eval-mode dataset (sample() draws no RNG
+        there) so batch content is a pure function of the index order."""
+        cfg_ds, cfg_g = make_cfgs(syn_root)
+        cfg_ds.list_files = [osp.join(syn_root, 'test_list.txt')]
+        ds = pipeline.BOPDataset(cfg_ds, cfg_g, train=False)
+
+        def mk():
+            return pipeline.Loader(ds, batch_size=2, num_threads=1, seed=3,
+                                   shuffle=True, drop_last=True)
+
+        full = mk()
+        seq = list(full) + list(full)          # epochs 0 and 1 -> 6 batches
+        resumed = mk()
+        resumed.set_position(4)                 # epoch 1, skip 1 batch
+        got = list(resumed)
+        assert len(got) == 2
+        for a, b in zip(seq[4:], got):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+        # and the epoch after a resumed partial epoch matches epoch 2
+        seq2 = list(full)                       # epoch 2 of the full run
+        got2 = list(resumed)
+        for a, b in zip(seq2, got2):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+
 class TestMPLoader:
     def test_multiprocess_loader(self, syn_root):
         cfg_ds, cfg_g = make_cfgs(syn_root)
@@ -196,5 +228,17 @@ class TestMPLoader:
             b = batches[0]
             assert b['rgb_in'].shape == (4, 64, 64, 3)
             assert b['Rt_candi'].shape[0] == 4
+
+            # endless(start=k) is bit-identical to the uninterrupted stream:
+            # every batch is a pure function of (seed, epoch, i), independent
+            # of worker assignment — exact resume (the aug RNG too).
+            it = loader.endless()
+            seq = [next(it) for _ in range(5)]
+            it2 = loader.endless(start=3)
+            for want in seq[3:]:
+                got = next(it2)
+                assert set(want) == set(got)
+                for k in want:
+                    np.testing.assert_array_equal(want[k], got[k])
         finally:
             loader.close()
