@@ -10,6 +10,11 @@ from .rotations import (
     standardize_quaternion,
     axis_angle_to_quaternion_near_zero,
     skew_symmetric,
+    quaternion_apply,
+    rotation_6d_to_matrix,
+    matrix_to_rotation_6d,
+    euler_angles_to_matrix,
+    matrix_to_euler_angles,
 )
 from .pose import (
     pose7_to_RT,

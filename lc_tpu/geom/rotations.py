@@ -140,6 +140,76 @@ def matrix_to_axis_angle(m: jax.Array) -> jax.Array:
     return quaternion_to_axis_angle(matrix_to_quaternion(m))
 
 
+def quaternion_apply(q: jax.Array, p: jax.Array) -> jax.Array:
+    """Rotate points p (..., 3) by unit quaternions q (..., 4) wijk.
+
+    Uses the expanded cross-product form (15 mul) instead of q * p * q^-1
+    (reference rotation_conversions.py quaternion_apply) — fewer ops, VPU-friendly.
+    """
+    w, v = q[..., :1], q[..., 1:]
+    c = jnp.cross(v, p)
+    return p + 2.0 * (w * c + jnp.cross(v, c))
+
+
+def rotation_6d_to_matrix(d6: jax.Array) -> jax.Array:
+    """Zhou et al. continuous 6D rep (..., 6) -> rotation matrix (..., 3, 3).
+
+    Gram-Schmidt on the two encoded rows (reference rotation_conversions.py:559).
+    """
+    a1, a2 = d6[..., :3], d6[..., 3:]
+    b1 = a1 / jnp.clip(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-12)
+    a2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = a2 / jnp.clip(jnp.linalg.norm(a2, axis=-1, keepdims=True), 1e-12)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack((b1, b2, b3), axis=-2)
+
+
+def matrix_to_rotation_6d(m: jax.Array) -> jax.Array:
+    """Rotation matrix (..., 3, 3) -> 6D rep (..., 6): the first two rows."""
+    return m[..., :2, :].reshape(m.shape[:-2] + (6,))
+
+
+def _axis_rotation(axis: str, angle: jax.Array) -> jax.Array:
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    one, zero = jnp.ones_like(angle), jnp.zeros_like(angle)
+    if axis == 'X':
+        flat = (one, zero, zero, zero, c, -s, zero, s, c)
+    elif axis == 'Y':
+        flat = (c, zero, s, zero, one, zero, -s, zero, c)
+    elif axis == 'Z':
+        flat = (c, -s, zero, s, c, zero, zero, zero, one)
+    else:
+        raise ValueError(axis)
+    return jnp.stack(flat, axis=-1).reshape(angle.shape + (3, 3))
+
+
+def euler_angles_to_matrix(euler: jax.Array, convention: str = 'XYZ') -> jax.Array:
+    """Extrinsic-composition Euler angles (..., 3) -> matrix, matching the
+    pytorch3d semantics the reference vendors (rotation_conversions.py):
+    R = R(conv[0], e0) @ R(conv[1], e1) @ R(conv[2], e2).
+    Proper-Euler conventions (e.g. ZYZ) are valid; adjacent repeats are not."""
+    if len(convention) != 3 or any(c not in 'XYZ' for c in convention) \
+            or convention[0] == convention[1] or convention[1] == convention[2]:
+        raise ValueError(convention)
+    ms = [_axis_rotation(c, euler[..., i]) for i, c in enumerate(convention)]
+    return ms[0] @ ms[1] @ ms[2]
+
+
+def matrix_to_euler_angles(m: jax.Array, convention: str = 'XYZ') -> jax.Array:
+    """Matrix (..., 3, 3) -> Euler angles (..., 3), inverse of
+    euler_angles_to_matrix for distinct-axis (Tait-Bryan) conventions."""
+    if len(convention) != 3 or len(set(convention)) != 3 \
+            or any(c not in 'XYZ' for c in convention):
+        raise ValueError(convention)
+    i0, i2 = 'XYZ'.index(convention[0]), 'XYZ'.index(convention[2])
+    i1 = 3 - i0 - i2
+    tait_sign = 1.0 if i2 - i0 in (2, -1) else -1.0  # even perm => +sin at m[i0,i2]
+    central = jnp.arcsin(jnp.clip(tait_sign * m[..., i0, i2], -1.0, 1.0))
+    a0 = jnp.arctan2(-tait_sign * m[..., i1, i2], m[..., i2, i2])
+    a2 = jnp.arctan2(-tait_sign * m[..., i0, i1], m[..., i0, i0])
+    return jnp.stack((a0, central, a2), axis=-1)
+
+
 def skew_symmetric(v: jax.Array) -> jax.Array:
     """(..., 3) -> skew-symmetric (..., 3, 3) such that skew(v) @ p = v × p."""
     a0, a1, a2 = jnp.moveaxis(v, -1, 0)

@@ -125,6 +125,45 @@ class TestMeshRasterizer:
         np.testing.assert_allclose(v3, verts, atol=1e-3)
 
 
+class TestVis:
+    def test_draw_overlays_and_colormaps(self):
+        from scipy.spatial.transform import Rotation as sR
+        from lc_tpu.utils import vis
+
+        img = np.full((120, 160, 3), 32, np.uint8)
+        K = np.array([[200.0, 0, 80], [0, 200.0, 60], [0, 0, 1]])
+        R = sR.random(random_state=2).as_matrix()
+        t = np.array([0, 0, 600.0])
+        he = np.array([40.0, 30.0, 20.0])
+        corners = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                            for sz in (-1, 1)], np.float64) * he
+
+        # projected corners land where project_points says they do
+        uv = vis.project_points(corners, R, t, K)
+        cam = corners @ R.T + t
+        np.testing.assert_allclose(uv, cam[:, :2] / cam[:, 2:3] * 200.0
+                                   + np.array([80.0, 60.0]), atol=1e-9)
+
+        box = vis.draw_bbox3d(img, corners, R, t, K)
+        axes = vis.draw_pose_axes(img, R, t, K, length=30.0)
+        assert box.shape == img.shape and (box != img).any()
+        assert (axes != img).any()
+        assert (img == 32).all()  # inputs untouched (copies)
+
+        rng = np.random.default_rng(7)
+        noc = np.clip(rng.normal(size=(16, 16, 3)), -1, 1)
+        msk = rng.random((16, 16)) > 0.5
+        rgb = vis.noc_to_rgb(noc, msk)
+        assert rgb.dtype == np.uint8
+        assert (rgb[~msk] == 0).all() and (rgb[msk].sum() > 0)
+
+        hm = vis.weight_heatmap(rng.random((16, 16)))
+        assert hm.shape == (16, 16, 3) and hm.dtype == np.uint8
+
+        ov = vis.overlay_mask(img, rng.random(img.shape[:2]) > 0.5)
+        assert ov.shape == img.shape and ov.dtype == np.uint8
+
+
 class TestCheckpoint:
     def test_rotation_and_best(self, tmp_path):
         ck = Checkpoint(str(tmp_path / 'ck'), latest_keep=2, best_keep=2)

@@ -77,6 +77,45 @@ class TestRotations:
             np.einsum('bij,bj->bi', sk, p), np.cross(v, p), atol=1e-6)
 
 
+class TestRotationExtras:
+    def test_quaternion_apply_vs_matrix(self):
+        q = random_quats(32)
+        p = RNG.normal(size=(32, 3)).astype(np.float32)
+        got = np.asarray(geom.quaternion_apply(jnp.asarray(q), jnp.asarray(p)))
+        want = np.einsum('nij,nj->ni',
+                         np.asarray(geom.quaternion_to_matrix(jnp.asarray(q))),
+                         p)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_rotation_6d_roundtrip(self):
+        m = sciR.random(48, random_state=5).as_matrix().astype(np.float32)
+        d6 = np.asarray(geom.matrix_to_rotation_6d(jnp.asarray(m)))
+        m2 = np.asarray(geom.rotation_6d_to_matrix(jnp.asarray(d6)))
+        np.testing.assert_allclose(m2, m, atol=1e-5)
+
+    def test_rotation_6d_noisy_is_orthonormal(self):
+        d6 = RNG.normal(size=(16, 6)).astype(np.float32)
+        m = np.asarray(geom.rotation_6d_to_matrix(jnp.asarray(d6)))
+        eye = np.einsum('nij,nkj->nik', m, m)
+        np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.linalg.det(m), 1.0, atol=1e-5)
+
+    @pytest.mark.parametrize('conv', ['XYZ', 'XZY', 'YXZ', 'YZX', 'ZXY', 'ZYX'])
+    def test_euler_vs_scipy_and_roundtrip(self, conv):
+        # central angle within (-pi/2, pi/2) keeps the Tait-Bryan chart invertible
+        e = np.stack([RNG.uniform(-np.pi, np.pi, 64),
+                      RNG.uniform(-1.4, 1.4, 64),
+                      RNG.uniform(-np.pi, np.pi, 64)], -1).astype(np.float32)
+        m = np.asarray(geom.euler_angles_to_matrix(jnp.asarray(e), conv))
+        # pytorch3d/our convention: R = R(c0,e0) @ R(c1,e1) @ R(c2,e2)
+        # == scipy intrinsic (uppercase) composition
+        m_ref = sciR.from_euler(conv, e).as_matrix()
+        np.testing.assert_allclose(m, m_ref, atol=1e-5)
+        e2 = np.asarray(geom.matrix_to_euler_angles(jnp.asarray(m), conv))
+        np.testing.assert_allclose(e2, e, atol=1e-4)
+
+
 class TestPose:
     def test_pose7_roundtrip(self):
         q = random_quats(32)
