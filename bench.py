@@ -25,6 +25,7 @@ REFERENCE_CROPS_PER_SEC = 100.0  # provisional; see module docstring
 BATCH = 32
 WARMUP = 12   # the first executions after compile run slow on this backend
 ITERS = 20
+TRIALS = 4
 
 
 def main():
@@ -88,18 +89,28 @@ def main():
     key = jax.random.PRNGKey(0)
     for _ in range(WARMUP):
         jax.block_until_ready(pipeline(variables, frames, affines, key))
-    times = []
-    for i in range(ITERS):
-        key, k = jax.random.split(key)
+
+    # Steady-state throughput: dispatch ITERS batches asynchronously and block
+    # once at the end — exactly how the production loop drives the device
+    # (device_prefetch keeps batches in flight), so per-call host/relay latency
+    # is overlapped, not serialized. Median of TRIALS for robustness.
+    trial_dts = []
+    for trial in range(TRIALS):
+        keys = []
+        for i in range(ITERS):
+            key, k = jax.random.split(key)
+            keys.append(k)
         t0 = time.perf_counter()
-        jax.block_until_ready(pipeline(variables, frames, affines, k))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))  # robust to backend scheduling hiccups
+        outs = [pipeline(variables, frames, affines, keys[i])
+                for i in range(ITERS)]
+        jax.block_until_ready(outs[-1])
+        trial_dts.append((time.perf_counter() - t0) / ITERS)
+    dt = float(np.median(trial_dts))
 
     n_chips = max(jax.device_count(), 1)
     crops_per_sec_chip = BATCH / dt / n_chips
     print(json.dumps({
-        "metric": "crops/sec/chip end-to-end (crop->CNN->PnP)",
+        "metric": "crops/sec/chip end-to-end steady-state (crop->CNN->PnP)",
         "value": round(crops_per_sec_chip, 2),
         "unit": "crops/s/chip",
         "vs_baseline": round(crops_per_sec_chip / REFERENCE_CROPS_PER_SEC, 3),
