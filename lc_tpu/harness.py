@@ -37,6 +37,7 @@ def make_loss_config(cfg, steps_per_epoch: int, bit_cnt) -> LossConfig:
         loss_pose_nz_step=lc.get('loss_pose_nz_step', 0),
         dense_sample=pose_cfg.get('dense_sample', 2),
         max_err_len=pose_cfg.get('max_err_len', 32),
+        cov_2d=pose_cfg.get('cov_2d', False),
         clip_weight_grad=pose_cfg.get('clip_weight_grad', True),
         clip_scale_grad=pose_cfg.get('clip_scale_grad', False),
         clip_pts_grad=pose_cfg.get('clip_pts_grad', False),

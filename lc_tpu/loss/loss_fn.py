@@ -35,6 +35,7 @@ class LossConfig:
     loss_pose_nz_step: int = 0
     dense_sample: int = 2
     max_err_len: float = 32.0
+    cov_2d: bool = False                 # propagate to projected-bbox (2D) corners
     clip_weight_grad: bool = True
     clip_scale_grad: bool = False
     clip_pts_grad: bool = False
@@ -98,7 +99,7 @@ def compute_losses(cfg: LossConfig, gt: dict, out: dict, state: LossState,
         loss_dict['loss_kpts'] = loss_kpts
         if cfg.w_loss_pose > 0:
             lc = loss_cov_mixed(K, pose_best, pts3d, pts2d, 1.0 / pts2d_std, None,
-                                bbox_3d=gt['bbox_3d'])
+                                bbox_3d=gt['bbox_3d'], cov_2d=cfg.cov_2d)
             f = _pose_ramp(cfg, step)
             loss_dict['loss_pose'] = f * jnp.mean(lc) + (1.0 - f) * loss_kpts
     else:
@@ -162,7 +163,7 @@ def compute_losses(cfg: LossConfig, gt: dict, out: dict, state: LossState,
         den_valid = jnp.ones_like(den_pts3d[..., 0])
         lc = loss_cov_mixed(gt['out_K'], gt['pose_best'], den_pts3d, den_pts2d,
                             den_inv_std2d, den_valid, bbox_3d=gt['bbox_3d'],
-                            max_err_len=cfg.max_err_len)
+                            max_err_len=cfg.max_err_len, cov_2d=cfg.cov_2d)
         loss_pose = jnp.mean(lc)
 
         f = _pose_ramp(cfg, step)

@@ -112,6 +112,33 @@ class TestLossCovMixed:
         out = f(Ks, pose, pts3d, pts2d, inv, bbox)
         assert np.all(np.isfinite(np.asarray(out)))
 
+    def test_cov_2d_variant(self):
+        """The 2D variant (reference cov_mixed.py:92,125-127: propagate to the 16
+        projected bbox-corner coords instead of the 24 3D ones) is finite,
+        differentiable, differs from the 3D variant, and keeps the calibration
+        ordering (overclaimed precision on noisy points is punished)."""
+        Ks, pose, pts3d, pts2d, inv, bbox = make_lc_inputs(noise=0.1, inv_std=3.0)
+        l2d = L.loss_cov_mixed(Ks, pose, pts3d, pts2d, inv, None, bbox_3d=bbox,
+                               cov_2d=True)
+        l3d = L.loss_cov_mixed(Ks, pose, pts3d, pts2d, inv, None, bbox_3d=bbox)
+        assert l2d.shape == (2,) and np.all(np.isfinite(np.asarray(l2d)))
+        assert np.abs(np.asarray(l2d) - np.asarray(l3d)).max() > 1e-4
+
+        Ks2, pose2, pts3d2, noisy2, inv2, bbox2 = make_lc_inputs(noise=6.0,
+                                                                 inv_std=10.0)
+        over = float(jnp.mean(L.loss_cov_mixed(
+            Ks2, pose2, pts3d2, noisy2, inv2, None, bbox_3d=bbox2, cov_2d=True)))
+        honest = float(jnp.mean(L.loss_cov_mixed(
+            Ks2, pose2, pts3d2, noisy2, inv2 * 0.02, None, bbox_3d=bbox2,
+            cov_2d=True)))
+        assert honest < over
+
+        def f(inv_std):
+            return jnp.mean(L.loss_cov_mixed(Ks, pose, pts3d, pts2d, inv_std,
+                                             None, bbox_3d=bbox, cov_2d=True))
+        g = np.asarray(jax.grad(f)(inv))
+        assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
+
 
 class TestGradTap:
     def test_clips_and_reports_norm(self):
@@ -240,6 +267,20 @@ class TestComputeLosses:
                                         taps=L.zero_taps())
         assert np.isfinite(float(total))
         assert set(ld) == {'loss_noc', 'loss_seg', 'loss_pose'}
+
+    def test_dense_noc_path_cov_2d(self):
+        gt, out = self._dense_setup()
+        cfg = L.LossConfig(w_loss_noc=1.0, w_loss_seg=0.25, w_loss_pose=0.02,
+                           full_pose_loss_step=10, cov_2d=True)
+        state = L.init_loss_state(cfg)
+        total, ld, _ = L.compute_losses(cfg, gt, out, state, step=100,
+                                        taps=L.zero_taps())
+        assert np.isfinite(float(total))
+        cfg3 = L.LossConfig(w_loss_noc=1.0, w_loss_seg=0.25, w_loss_pose=0.02,
+                            full_pose_loss_step=10)
+        total3, _, _ = L.compute_losses(cfg3, gt, out, state, step=100,
+                                        taps=L.zero_taps())
+        assert abs(float(total) - float(total3)) > 1e-6  # variant actually used
 
     def test_dense_bin_path(self):
         bit_cnt = (4, 4, 4)
