@@ -164,8 +164,14 @@ class BOPDataset:
             'net_output_wh', cfg_dataset.get('net_output_wh', (64, 64))))
         mask_interp = cfg_dataset.get('mask_interp', 'linear').lower()
         self.mask_nearest = mask_interp == 'nearest'
+        # dataloader.device_rotate=true moves the rotated 256² RGB warp onto the
+        # TPU (Pallas three-shear kernel, ops/pallas_warp.py) — worthwhile when
+        # host CPU is the constraint; costs shipping full frames instead of crops
+        self.device_rotate = bool(train and cfg_global.get(
+            'dataloader', {}).get('device_rotate', False))
         # host-side cv2 warping only when rotation augmentation is on (see sample())
-        self.host_warp = train and cfg_dataset.get('rotate_prob', 0) > 0
+        self.host_warp = train and cfg_dataset.get('rotate_prob', 0) > 0 \
+            and not self.device_rotate
 
         self.bg_list = None
         if train and cfg_dataset.get('bg_dir') and osp.isdir(cfg_dataset.bg_dir):
@@ -290,6 +296,22 @@ class BOPDataset:
                 blob0['msk_in'] = (cv2.warpAffine(
                     msk_visib, in_aff, in_wh, flags=cv2.INTER_LINEAR)
                     * 255).astype(np.uint8)
+        elif self.device_rotate and train:
+            # device-rotate mode: full frame + crop parameters for the Pallas
+            # three-shear warp; out-res masks stay host-warped (cheap 64² cv2,
+            # and needed on host for valid_cnt/check points anyway)
+            blob0 = {
+                'rgb_full': rgb,
+                'crop_center': center.astype(np.float32),
+                'crop_scale': np.float32(scale),
+                'crop_rot': np.float32(rotate),
+                'msk_vis_small': cv2.warpAffine(
+                    msk_visib, out_aff, out_wh,
+                    flags=cv2.INTER_NEAREST if self.mask_nearest
+                    else cv2.INTER_LINEAR).astype(np.float32),
+            }
+            if with_bg:
+                blob0['msk_full'] = (msk_visib * 255).astype(np.uint8)
         else:
             blob0 = {
                 'rgb_full': rgb,
@@ -321,7 +343,7 @@ class BOPDataset:
         # --- training-only parts ---
         msk_noc_small = cv2.warpAffine(
             msk_visib, out_aff, out_wh, flags=cv2.INTER_NEAREST) > 0.5
-        if host_warp:
+        if host_warp or self.device_rotate:
             blob['msk_noc_small'] = msk_noc_small.astype(np.float32)
         valid_pos = msk_noc_small.nonzero()
         valid_cnt = len(valid_pos[0])
@@ -489,19 +511,33 @@ def device_preprocess(batch: dict, key: jax.Array, *, net_input_wh, net_output_w
     in_hw = (net_input_wh[1], net_input_wh[0])
     out_hw = (net_output_wh[1], net_output_wh[0])
     host_warped = 'rgb_in' in batch  # rotated crops arrive pre-warped (host cv2)
+    device_rot = 'crop_rot' in batch  # dataloader.device_rotate: Pallas shears
 
     if host_warped:
         rgb_in = batch['rgb_in'].astype(jnp.float32)
+    elif device_rot:
+        from ..ops.pallas_warp import rotated_crop_warp
+        rgb_full = batch['rgb_full'].astype(jnp.float32)
+        rgb_in = rotated_crop_warp(rgb_full, batch['crop_center'],
+                                   batch['crop_scale'], batch['crop_rot'],
+                                   net_input_wh)
     else:
         rgb_full = batch['rgb_full'].astype(jnp.float32)
         rgb_in = batched_separable_warp(rgb_full, batch['in_affine'], in_hw,
                                         'bilinear')
 
     if train:
-        if host_warped:
+        if host_warped or device_rot:
             msk_in = batch.get('msk_in')
             if msk_in is not None:
                 msk_in = msk_in.astype(jnp.float32) / 255.0
+            elif device_rot and 'msk_full' in batch:
+                from ..ops.pallas_warp import rotated_crop_warp
+                mf = (batch['msk_full'].astype(jnp.float32) / 255.0)[..., None]
+                msk_in = rotated_crop_warp(mf, batch['crop_center'],
+                                           batch['crop_scale'],
+                                           batch['crop_rot'],
+                                           net_input_wh)[..., 0]
             msk_vis = batch['msk_vis_small']
             msk_noc = batch['msk_noc_small'] > 0.5
         else:
@@ -530,7 +566,7 @@ def device_preprocess(batch: dict, key: jax.Array, *, net_input_wh, net_output_w
     out = dict(batch)
     for k in ('rgb_full', 'msk_full', 'bg_crop', 'in_affine', 'switch_bg',
               'pixel_aug', 'rgb_in', 'msk_in', 'msk_vis_small',
-              'msk_noc_small'):
+              'msk_noc_small', 'crop_center', 'crop_scale', 'crop_rot'):
         out.pop(k, None)
     out['img_in'] = x
     if train:

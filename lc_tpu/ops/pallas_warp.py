@@ -53,13 +53,16 @@ def shear_x_reference(img: jax.Array, shifts: jax.Array) -> jax.Array:
 def _shear_kernel(shift_ref, img_ref, out_ref):
     """One (batch, row) program: fractional dynamic-slice shift of a padded row.
 
-    img_ref: (1, Wpad, C) the padded source row; shift_ref: (1, 1) in SMEM;
-    out_ref: (1, W, C).
+    img_ref: (1, 1, Wpad, C) the padded source row in VMEM; shift_ref: the FULL
+    (B, H) shift array in SMEM — Mosaic requires block dims divisible by (8, 128)
+    or equal to the array dims, so partial scalar blocks like (1, 1) are rejected;
+    instead the whole (tiny) shift table is resident and indexed by program_id.
+    out_ref: (1, 1, W, C).
     """
     import jax.experimental.pallas as pl
 
     W = out_ref.shape[2]
-    shift = shift_ref[0, 0]
+    shift = shift_ref[pl.program_id(0), pl.program_id(1)]
     base = jnp.floor(shift)
     frac = shift - base
     start = base.astype(jnp.int32) + (img_ref.shape[2] - W) // 2  # pad offset
@@ -89,7 +92,7 @@ def shear_x_pallas(img: jax.Array, shifts: jax.Array,
         _shear_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, y: (b, y),
+            pl.BlockSpec((B, H), lambda b, y: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, Wpad, C), lambda b, y: (b, y, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -126,17 +129,20 @@ def _apply_quadrant(img: jax.Array, q: jax.Array) -> jax.Array:
 
 def rotated_crop_warp(imgs: jax.Array, center: jax.Array, scale: jax.Array,
                       rot_rad: jax.Array, out_wh: tuple, *,
-                      use_pallas: bool = True) -> jax.Array:
+                      use_pallas: bool | None = None) -> jax.Array:
     """Full DZI crop with rotation, gather-free.
 
     imgs: (B, H, W, C) f32; center (B, 2); scale (B,); rot_rad (B,).
     Equivalent to cv2.warpAffine(img, crop_affine(center, scale, rot), out_wh)
     up to resampling differences (two-stage resampling vs direct; the intermediate
     is 1.5× the output resolution so the quality loss is marginal).
+    use_pallas=None auto-selects: Pallas kernel on TPU, pure-jnp shears elsewhere.
     """
     out_w, out_h = out_wh
     assert out_w == out_h, 'square crops only'
     B = imgs.shape[0]
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform in ('tpu', 'axon')
 
     q, theta = _fold_quadrant(rot_rad)
 
