@@ -42,3 +42,44 @@ def outer_accum_6(J: jax.Array, w: jax.Array) -> jax.Array:
 def weighted_jtr_6(J: jax.Array, r: jax.Array, w: jax.Array) -> jax.Array:
     """g = Σ_{n,c} w·r·J -> (..., 6). J: (..., N, 2, 6); r, w: (..., N, 2)."""
     return jnp.sum(J * (w * r)[..., None], axis=(-3, -2))
+
+
+def chol_solve_small(A: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Solve SPD A (..., n, n) x = b (..., n) by a fully unrolled Cholesky.
+
+    Returns (x, ok) with ok False where a pivot was non-positive (not SPD).
+    `jnp.linalg.cholesky` + `cho_solve` lower to loop-based batched kernels on
+    TPU — ~10× slower than this unrolled elementwise form for tiny static n
+    (n ≤ ~12; op count is n³/3 scalars, all vectorized over the batch dims).
+    """
+    n = A.shape[-1]
+    eps = jnp.asarray(1e-30, A.dtype)
+    ok = jnp.ones(A.shape[:-2], bool)
+    L = [[None] * n for _ in range(n)]
+    Linv_diag = [None] * n
+    for j in range(n):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        ok = ok & (s > eps)
+        Ljj = jnp.sqrt(jnp.maximum(s, eps))
+        L[j][j] = Ljj
+        Linv_diag[j] = 1.0 / Ljj
+        for i in range(j + 1, n):
+            t = A[..., i, j]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k]
+            L[i][j] = t * Linv_diag[j]
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s * Linv_diag[i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s * Linv_diag[i]
+    return jnp.stack(x, axis=-1), ok

@@ -91,10 +91,8 @@ def dlt_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     AtA = jnp.sum(Aw[..., :, None] * A[..., None, :], axis=-3)  # VPU outer-accum
     AtA = AtA + 1e-8 * jnp.eye(11, dtype=A.dtype)
     Atb = jnp.sum(Aw * b[..., None], axis=-2)
-    L = jnp.linalg.cholesky(AtA)
-    chol_ok = jnp.logical_not(jnp.any(jnp.isnan(L), axis=(-1, -2)))
-    L = jnp.where(chol_ok[..., None, None], L, jnp.eye(11, dtype=A.dtype))
-    x = jax.scipy.linalg.cho_solve((L, True), Atb[..., None])[..., 0]
+    from ..ops.smallmat import chol_solve_small
+    x, chol_ok = chol_solve_small(AtA, Atb)   # unrolled: batched-linalg-free
 
     # solved P' = λ'[R | t'] for X' = (X - c)/s: R is shared, λ' = λ·s,
     # t' relates by t = t'/λ − R·c
