@@ -44,14 +44,10 @@ def weighted_jtr_6(J: jax.Array, r: jax.Array, w: jax.Array) -> jax.Array:
     return jnp.sum(J * (w * r)[..., None], axis=(-3, -2))
 
 
-def chol_solve_small(A: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Solve SPD A (..., n, n) x = b (..., n) by a fully unrolled Cholesky.
-
-    Returns (x, ok) with ok False where a pivot was non-positive (not SPD).
-    `jnp.linalg.cholesky` + `cho_solve` lower to loop-based batched kernels on
-    TPU — ~10× slower than this unrolled elementwise form for tiny static n
-    (n ≤ ~12; op count is n³/3 scalars, all vectorized over the batch dims).
-    """
+def _chol_factor_lists(A):
+    """Unrolled Cholesky of SPD A (..., n, n). Returns (L, Linv_diag, ok): L a
+    lower-triangular list-of-lists of (...,) entries, ok False where a pivot
+    was non-positive (not SPD; the clamped sqrt keeps the factor finite)."""
     n = A.shape[-1]
     eps = jnp.asarray(1e-30, A.dtype)
     ok = jnp.ones(A.shape[:-2], bool)
@@ -70,16 +66,53 @@ def chol_solve_small(A: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
             for k in range(j):
                 t = t - L[i][k] * L[j][k]
             L[i][j] = t * Linv_diag[j]
+    return L, Linv_diag, ok
+
+
+def _chol_substitute(L, Linv_diag, b, wide: bool):
+    """Forward+back substitution from list factors. b: (..., n) or (..., n, m)."""
+    n = len(Linv_diag)
+    exp = (lambda a: a[..., None]) if wide else (lambda a: a)
     y = [None] * n
     for i in range(n):
-        s = b[..., i]
+        s = b[..., i] if not wide else b[..., i, :]
         for k in range(i):
-            s = s - L[i][k] * y[k]
-        y[i] = s * Linv_diag[i]
+            s = s - exp(L[i][k]) * y[k]
+        y[i] = s * exp(Linv_diag[i])
     x = [None] * n
     for i in reversed(range(n)):
         s = y[i]
         for k in range(i + 1, n):
-            s = s - L[k][i] * x[k]
-        x[i] = s * Linv_diag[i]
-    return jnp.stack(x, axis=-1), ok
+            s = s - exp(L[k][i]) * x[k]
+        x[i] = s * exp(Linv_diag[i])
+    return jnp.stack(x, axis=-1 if not wide else -2)
+
+
+def chol_solve_small(A: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Solve SPD A (..., n, n) x = b (..., n) by a fully unrolled Cholesky.
+
+    Returns (x, ok) with ok False where a pivot was non-positive (not SPD).
+    `jnp.linalg.cholesky` + `cho_solve` lower to loop-based batched kernels on
+    TPU — ~10× slower than this unrolled elementwise form for tiny static n
+    (n ≤ ~12; op count is n³/3 scalars, all vectorized over the batch dims).
+    Differentiable (pure jnp ops).
+    """
+    L, Linv_diag, ok = _chol_factor_lists(A)
+    return _chol_substitute(L, Linv_diag, b, wide=False), ok
+
+
+def chol_solve_small_mat(A: jax.Array, B: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Wide-RHS variant: solve A (..., n, n) X = B (..., n, m) -> (X, ok)."""
+    L, Linv_diag, ok = _chol_factor_lists(A)
+    return _chol_substitute(L, Linv_diag, B, wide=True), ok
+
+
+def chol_factor_small(A: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Unrolled Cholesky returning the stacked lower factor (..., n, n) and ok
+    — drop-in for jnp.linalg.cholesky on tiny SPD batches."""
+    n = A.shape[-1]
+    L, _, ok = _chol_factor_lists(A)
+    zero = jnp.zeros_like(L[0][0])
+    rows = [jnp.stack([L[i][j] if j <= i else zero for j in range(n)], axis=-1)
+            for i in range(n)]
+    return jnp.stack(rows, axis=-2), ok

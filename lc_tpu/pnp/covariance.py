@@ -36,11 +36,13 @@ def safe_cholesky(spd: jax.Array) -> tuple[jax.Array, jax.Array]:
     the validity test never enters the gradient) are replaced by I and flagged —
     mirrors reference lib/nll/pnp_utils.py:141-167 (make_sure_SPD / safe_cholesky).
     """
-    probe = jnp.linalg.cholesky(jax.lax.stop_gradient(spd))
-    invalid = jnp.any(jnp.isnan(probe), axis=(-1, -2))
+    from ..ops.smallmat import chol_factor_small
+    _, ok = chol_factor_small(jax.lax.stop_gradient(spd))
+    invalid = jnp.logical_not(ok)
     eye = jnp.eye(spd.shape[-1], dtype=spd.dtype)
     fixed = jnp.where(invalid[..., None, None], eye, spd)
-    return jnp.linalg.cholesky(fixed), invalid
+    L, _ = chol_factor_small(fixed)
+    return L, invalid
 
 
 class PnPJacCov(NamedTuple):
@@ -71,16 +73,19 @@ def weighted_pnp_jac_cov(pose_gt: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
     H = outer_accum_6(J, w)
     H = 0.5 * (H + jnp.swapaxes(H, -1, -2))
     L, invalid = safe_cholesky(H)
+    eye = jnp.eye(6, dtype=H.dtype)
+    H_fixed = jnp.where(invalid[..., None, None], eye, H)
 
+    from ..ops.smallmat import chol_solve_small_mat
     wJ = w[..., None] * J                                       # (..., N, 2, 6)
     batch = wJ.shape[:-3]
     N = wJ.shape[-3]
     rhs = jnp.swapaxes(wJ.reshape(batch + (N * 2, 6)), -1, -2)  # (..., 6, 2N)
-    sol = jax.scipy.linalg.cho_solve((L, True), rhs)            # (..., 6, 2N)
+    sol, _ = chol_solve_small_mat(H_fixed, rhs)                 # (..., 6, 2N)
     jac = sol.reshape(batch + (6, N, 2))
 
-    eye = jnp.eye(6, dtype=H.dtype)
-    cov = jax.scipy.linalg.cho_solve((L, True), jnp.broadcast_to(eye, L.shape))
+    cov, _ = chol_solve_small_mat(
+        H_fixed, jnp.broadcast_to(eye, H_fixed.shape))
     return PnPJacCov(invalid=invalid, jac=jac, cov=cov, hess_L=L)
 
 

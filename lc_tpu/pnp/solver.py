@@ -114,10 +114,9 @@ def lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
         mu = 1.0 / c.radius
         # (H + μ·diag(H)) — Ceres's DᵀD regularization with D = √diag(H)
         H_lm = H + mu[:, None, None] * (eye6 * diag[:, None, :])
-        L = jnp.linalg.cholesky(H_lm)
-        chol_ok = jnp.logical_not(jnp.any(jnp.isnan(L), axis=(-1, -2)))
-        L_safe = jnp.where(chol_ok[:, None, None], L, eye6)
-        delta = -jax.scipy.linalg.cho_solve((L_safe, True), g[..., None])[..., 0]
+        from ..ops.smallmat import chol_solve_small
+        neg_delta, chol_ok = chol_solve_small(H_lm, g)
+        delta = -neg_delta  # unused when !chol_ok (step rejected), always finite
 
         new_pose = apply_perturb(c.pose, delta)
         new_cost = _weighted_cost(new_pose, cam_K, pts3d, pts2d, w2)
