@@ -73,9 +73,9 @@ def xyz_to_nn_target(xyz: jax.Array, noc_scale_xfd: jax.Array, *,
     """
     xyz = jax.lax.stop_gradient(xyz)
     if model_transform is not None:
-        R = model_transform[:, None, None, :3, :3]
-        t = model_transform[:, None, None, None, :3, 3]
-        xfd = xyz @ jnp.swapaxes(R, -1, -2) + t[:, :, :, 0]
+        R = model_transform[:, None, :3, :3]                  # (B, 1, 3, 3)
+        t = model_transform[:, None, None, :3, 3]             # (B, 1, 1, 3)
+        xfd = xyz @ jnp.swapaxes(R, -1, -2) + t
         if noc_mask is not None:
             xfd = xfd * noc_mask[..., None]
     else:

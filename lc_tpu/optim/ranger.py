@@ -13,11 +13,29 @@ the RAdam moments live in a single state pytree (simpler checkpointing, one pass
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
+
+
+def _first_rectified_step(b2: float, threshold: float) -> int:
+    """First step where RAdam's N_sma exceeds the threshold, in exact f64.
+
+    N_sma(t) crosses the threshold once (monotone for b2 < 1); the reference
+    evaluates the comparison in Python f64 (lib/optim/ranger.py:160-164). An
+    on-device f32 comparison is off by ±0.03 near the boundary — enough to flip
+    the rectification step and change that step's update scale ~1000× — so we
+    resolve the boundary statically and gate on the integer step instead.
+    """
+    n_max = 2.0 / (1.0 - b2) - 1.0
+    for t in range(1, 10_000_000):
+        b2t = b2 ** t
+        if n_max - 2.0 * t * b2t / (1.0 - b2t) > threshold:
+            return t
+    raise ValueError(f"N_sma never exceeds {threshold} for b2={b2}")
 
 
 class RangerState(NamedTuple):
@@ -32,6 +50,8 @@ def ranger(learning_rate, *, alpha: float = 0.5, k: int = 6,
            eps: float = 1e-5, weight_decay: float = 0.0,
            gc_conv_only: bool = False) -> optax.GradientTransformation:
     gc_dim_threshold = 3 if gc_conv_only else 1
+    rect_step = _first_rectified_step(b2, n_sma_threshold)
+    log_b2 = math.log(b2)
 
     def init(params):
         zeros = jax.tree.map(jnp.zeros_like, params)
@@ -57,13 +77,16 @@ def ranger(learning_rate, *, alpha: float = 0.5, k: int = 6,
                                   state.exp_avg_sq, grads)
 
         stepf = step.astype(jnp.float32)
-        beta2_t = b2 ** stepf
+        # 1 − b2^t via expm1: relative (not absolute-in-b2t) f32 accuracy, which
+        # N_sma needs — its sensitivity to b2^t is ~2t/(1−b2^t)², huge near t=0
+        one_minus_b2t = -jnp.expm1(stepf * log_b2)
+        beta2_t = 1.0 - one_minus_b2t
         n_sma_max = 2.0 / (1.0 - b2) - 1.0
-        n_sma = n_sma_max - 2.0 * stepf * beta2_t / (1.0 - beta2_t)
-        rect = jnp.sqrt((1.0 - beta2_t) * (n_sma - 4.0) / (n_sma_max - 4.0)
+        n_sma = n_sma_max - 2.0 * stepf * beta2_t / one_minus_b2t
+        rect = jnp.sqrt(one_minus_b2t * (n_sma - 4.0) / (n_sma_max - 4.0)
                         * (n_sma - 2.0) / n_sma * n_sma_max / (n_sma_max - 2.0))
-        bias1 = 1.0 - b1 ** stepf
-        rectified = n_sma > n_sma_threshold
+        bias1 = -jnp.expm1(stepf * math.log(b1))
+        rectified = step >= rect_step
         step_size = jnp.where(rectified, rect / bias1, 1.0 / bias1)
 
         def delta(m, v, p):
