@@ -1,40 +1,100 @@
 """Headline benchmark: end-to-end crops/sec/chip (crop -> CNN -> PnP -> cov).
 
-Measures the production inference pipeline on the flagship config (CDPN-ResNet34
-dense head, 256² crops, batch 32): device-side affine crop + normalize, CNN
-forward, dense decode + point selection, RANSAC init, weighted LM refine — plus the
-LC covariance pass (the train-time hot path) as a secondary metric.
+Default mode measures the production inference pipeline on the flagship config
+(CDPN-ResNet34 dense head, 256² crops, batch 32): device-side affine crop +
+normalize, CNN forward, dense decode + point selection, RANSAC init, weighted LM
+refine. Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+All numbers in BASELINE.md regenerate from this file:
 
-vs_baseline: the reference publishes no throughput numbers and cannot run here (no
-GPU, no datasets, no released weights in this image — see BASELINE.md). We use a
-documented provisional baseline of 100 crops/sec for the reference's end-to-end
-GPU pipeline (ResNet34@256² forward plus its host-side cv2-RANSAC multiprocessing
-pool + OpenMP Ceres refine, which dominate; readme-era hardware). Replace with a
-measured value when the reference stack is runnable.
+    python bench.py                  # headline: inference, pose-consistent field
+    python bench.py --mode infer_raw # same pipeline, raw untrained CNN output
+    python bench.py --mode train     # full train step (fwd+LC loss+bwd+Ranger)
+    python bench.py --mode mfu       # CNN forward alone: ms, FLOPs, MFU
+    python bench.py --mode ref       # measured reference components on this host
+
+vs_baseline: the reference publishes no throughput numbers and its GPU stack
+cannot run in this image. The denominator is the MEASURED throughput of the
+reference's own mandatory host-side stage — its cv2.solvePnPRansac
+multiprocessing pool (lib/pnp/cv2_solver.py:93-108), which the reference
+executes serially with the GPU every batch (test.py:120) — on this machine's
+CPU (`--mode ref` regenerates it; REF_HOST_RANSAC_CROPS_PER_SEC below records
+the measured value). That stage alone bounds the reference's end-to-end
+crops/s from above on this host, so `vs_baseline` understates the true
+speedup; the Ceres refine stage (not runnable here: _ext not compiled, no
+libceres) would lower the reference number further.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import numpy as np
 
-REFERENCE_CROPS_PER_SEC = 100.0  # provisional; see module docstring
+# Measured via `python bench.py --mode ref` on this image's CPU (see module
+# docstring): reference cv2-RANSAC host pool, 32 instances/batch, 716 points
+# each, 150 iterations, Pool(6). Three runs: 104.9 / 100.3 / 96.9 crops/s.
+REF_HOST_RANSAC_CROPS_PER_SEC = 100.7
 BATCH = 32
 WARMUP = 12   # the first executions after compile run slow on this backend
 ITERS = 20
 TRIALS = 4
 
+# TPU v5e peak: 197 TFLOP/s bf16 (394 int8); f32 via bf16x3 passes ~1/3.
+V5E_PEAK_BF16 = 197e12
 
-def main():
+
+def _chained_rate(step, fetch, x0, iters=ITERS, trials=TRIALS, warmup=WARMUP,
+                  base_iters=4):
+    """Median marginal seconds/iteration of a CHAINED computation.
+
+    step(x) -> x' must make iteration i+1 data-depend on iteration i;
+    fetch(x) must pull a (small) value to the host. Timing is differential:
+    T(iters+base) − T(base), each run ending in a host fetch, divided by the
+    iteration delta — so compile, dispatch pipelining, and host↔device transfer
+    latency cancel. This stays honest on backends where block_until_ready does
+    not actually wait (the axon relay): the data dependence serializes the
+    chain and the fetch is the only true sync."""
+    x = x0
+    for _ in range(warmup):
+        x = step(x)
+    t0 = time.perf_counter()
+    fetch(x)
+    fetch_rt = time.perf_counter() - t0
+    if fetch_rt > 2.0:
+        # degraded relay round-trip (tens of seconds observed): keep the
+        # differential math but cut the number of fetches to bound wall time
+        trials = min(trials, 2)
+        base_iters = min(base_iters, 2)
+
+    state = [x]
+
+    def run(n):
+        t0 = time.perf_counter()
+        y = state[0]
+        for _ in range(n):
+            y = step(y)
+        fetch(y)
+        state[0] = y  # keep advancing: donated buffers are never reused
+        return time.perf_counter() - t0
+
+    dts = []
+    for _ in range(trials):
+        t_small = run(base_iters)
+        t_big = run(base_iters + iters)
+        dts.append((t_big - t_small) / iters)
+    return float(np.median(dts))
+
+
+def _build_inference(blend_field: bool):
     import jax
     import jax.numpy as jnp
     from lc_tpu.models import build_model
     from lc_tpu.data.crop import batched_separable_warp
     from lc_tpu.inference import solve_pnp_dense
     from lc_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from lc_tpu.geom.affine import crop_affine
 
     rng = np.random.default_rng(0)
     model = build_model('cdpn_resnet', {'concat': False})
@@ -45,7 +105,6 @@ def main():
     frames = jnp.asarray(rng.integers(0, 255, (BATCH, 480, 640, 3)), jnp.float32)
     affs = []
     for _ in range(BATCH):
-        from lc_tpu.geom.affine import crop_affine
         c = rng.uniform(200, 440, 2)
         affs.append(crop_affine(c, float(rng.uniform(120, 260)), 0.0, (256, 256)))
     affines = jnp.asarray(np.stack(affs), jnp.float32)
@@ -59,6 +118,8 @@ def main():
     # cost vs. production. Blend a realistic field (GT-pose backprojection +
     # noise) with a small multiple of the CNN head output so the CNN stays in the
     # measured graph while the solver sees production-like convergence (~10 its).
+    # --mode infer_raw measures the same pipeline WITHOUT the blend (the
+    # worst-case solver bound: every problem runs the full iteration budget).
     from lc_tpu import geom
     from scipy.spatial.transform import Rotation as sciR
     Rs = sciR.random(BATCH, random_state=1).as_matrix().astype(np.float32)
@@ -74,47 +135,203 @@ def main():
     mean = jnp.asarray(IMAGENET_MEAN)
     std = jnp.asarray(IMAGENET_STD)
 
+    # carry: a ~0 scalar derived from the previous batch's solved poses, mixed
+    # into the next batch's frames — forces batch i+1 to data-depend on batch i
+    # so the chain timing is honest (see _chained_rate)
     @jax.jit
-    def pipeline(variables, frames, affines, key):
-        crops = batched_separable_warp(frames, affines, (256, 256), 'bilinear')
+    def step_fn(key, carry):
+        f = frames + carry
+        crops = batched_separable_warp(f, affines, (256, 256), 'bilinear')
         x = (crops / 255.0 - mean) / std
         out = model.apply(variables, x, train=False)
         out = dict(out)
-        out['xyz_noc'] = noc_field + 1e-3 * out['xyz_noc']
+        if blend_field:
+            out['xyz_noc'] = noc_field + 1e-3 * out['xyz_noc']
         states = solve_pnp_dense(out, gt, key, sample=2,
                                  point_select='quantile', quantile=0.3,
                                  solvers=('weighted',))
-        return states['weighted']
+        pose = states['weighted']
+        key2 = jax.random.split(key)[0]
+        return key2, 1e-20 * jnp.mean(pose)
 
-    key = jax.random.PRNGKey(0)
-    for _ in range(WARMUP):
-        jax.block_until_ready(pipeline(variables, frames, affines, key))
+    def step(x):
+        return step_fn(*x)
 
-    # Steady-state throughput: dispatch ITERS batches asynchronously and block
-    # once at the end — exactly how the production loop drives the device
-    # (device_prefetch keeps batches in flight), so per-call host/relay latency
-    # is overlapped, not serialized. Median of TRIALS for robustness.
-    trial_dts = []
-    for trial in range(TRIALS):
-        keys = []
-        for i in range(ITERS):
-            key, k = jax.random.split(key)
-            keys.append(k)
-        t0 = time.perf_counter()
-        outs = [pipeline(variables, frames, affines, keys[i])
-                for i in range(ITERS)]
-        jax.block_until_ready(outs[-1])
-        trial_dts.append((time.perf_counter() - t0) / ITERS)
-    dt = float(np.median(trial_dts))
+    def fetch(x):
+        np.asarray(x[1])
 
+    return step, fetch, (jax.random.PRNGKey(0), jnp.float32(0))
+
+
+def bench_inference(blend_field: bool):
+    import jax
+    step, fetch, x0 = _build_inference(blend_field)
+    dt = _chained_rate(step, fetch, x0)
     n_chips = max(jax.device_count(), 1)
-    crops_per_sec_chip = BATCH / dt / n_chips
-    print(json.dumps({
-        "metric": "crops/sec/chip end-to-end steady-state (crop->CNN->PnP)",
-        "value": round(crops_per_sec_chip, 2),
+    v = BATCH / dt / n_chips
+    tag = 'pose-consistent field' if blend_field else 'raw untrained CNN output'
+    return {
+        "metric": f"crops/sec/chip end-to-end steady-state "
+                  f"(crop->CNN->PnP, {tag})",
+        "value": round(v, 2),
         "unit": "crops/s/chip",
-        "vs_baseline": round(crops_per_sec_chip / REFERENCE_CROPS_PER_SEC, 3),
-    }))
+        "vs_baseline": round(v / REF_HOST_RANSAC_CROPS_PER_SEC, 3),
+    }
+
+
+def bench_train():
+    """Full production train step at flagship shapes: CDPN-ResNet34, 256² input,
+    64² output, dense_sample=2 -> 1024 correspondences, LC loss (closed-form PnP
+    covariance), backward, Ranger update."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _synthetic_gt_blob
+    from lc_tpu.loss import LossConfig
+    from lc_tpu.models import build_model
+    from lc_tpu.optim.ranger import ranger
+    from lc_tpu.parallel.train_step import create_train_state, make_train_step
+
+    model = build_model('cdpn_resnet', {'concat': False})
+    loss_cfg = LossConfig(w_loss_noc=1.0, w_loss_seg=0.25, w_loss_pose=0.02,
+                          full_pose_loss_step=1, dense_sample=2)
+    tx = ranger(2e-4, weight_decay=1e-4)
+    gt = {k: jnp.asarray(v) for k, v in
+          _synthetic_gt_blob(BATCH, out_res=64, in_res=256).items()}
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 256, 3)), loss_cfg)
+    step_fn = make_train_step(model, tx, loss_cfg, donate=True)
+
+    # the production chain: donated state threads step i's output into i+1
+    key = jax.random.PRNGKey(1)
+
+    def step(x):
+        new_state, metrics = step_fn(x[0], gt, key)
+        return new_state, metrics
+
+    def fetch(x):
+        float(x[1]['loss_noc'])
+
+    dt = _chained_rate(step, fetch, (state, None), warmup=WARMUP)
+    n_chips = max(jax.device_count(), 1)
+    v = BATCH / dt / n_chips
+    return {
+        "metric": "train crops/sec/chip (fwd + LC loss + bwd + Ranger, "
+                  "batch 32, 256² in / 64² out, dense_sample=2)",
+        "value": round(v, 2),
+        "unit": "crops/s/chip",
+        "vs_baseline": None,
+    }
+
+
+def bench_mfu():
+    """CNN forward alone: per-batch ms, analytical FLOPs from the compiled
+    program, and MFU against the v5e bf16 peak."""
+    import jax
+    import jax.numpy as jnp
+    from lc_tpu.models import build_model
+
+    model = build_model('cdpn_resnet', {'concat': False})
+    img = jnp.zeros((BATCH, 256, 256, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+
+    # chain each forward's input on the previous output: the data dependency
+    # forces serial execution (independent dispatches overlap on the relay
+    # backend, which under-reports per-batch time), while dispatch overhead
+    # still overlaps with device compute
+    @jax.jit
+    def fwd_chained(v, x):
+        out = model.apply(v, x, train=False)
+        feedback = jnp.mean(out['xyz_noc']).astype(x.dtype)
+        return x + 1e-12 * feedback
+
+    lowered = fwd_chained.lower(variables, img)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get('flops', 0.0)) if cost else 0.0
+
+    dt = _chained_rate(lambda x: fwd_chained(variables, x),
+                       lambda x: np.asarray(x[0, 0, 0, 0]), img)
+    mfu = flops / dt / V5E_PEAK_BF16 if flops else -1.0
+    return {
+        "metric": f"CNN forward (CDPN-ResNet34 256², batch {BATCH}): "
+                  f"{dt * 1e3:.2f} ms/batch, {flops / 1e9:.1f} GFLOP/batch, "
+                  f"MFU vs v5e bf16 peak",
+        "value": round(mfu, 4),
+        "unit": "MFU",
+        "vs_baseline": None,
+    }
+
+
+def _ref_solve_one(args):
+    import cv2
+    p3, uv, Km = args
+    return cv2.solvePnPRansac(p3, uv, Km, None, iterationsCount=150,
+                              reprojectionError=3.0, confidence=0.99,
+                              flags=cv2.SOLVEPNP_EPNP)[0]
+
+
+def bench_ref():
+    """Measured reference components on THIS host (CPU): the cv2-RANSAC pool
+    (the mandatory host stage that upper-bounds reference end-to-end crops/s)
+    and, as context, the reference LC loss fwd+bwd on torch CPU."""
+    import multiprocessing
+
+    rng = np.random.default_rng(0)
+    K = np.array([[572.4, 0, 32.0], [0, 573.6, 32.0], [0, 0, 1.0]], np.float64)
+    # reference dense path, quantile=0.3 on 32² sampled grid -> ~716 pts kept
+    n_pts = 716
+
+    def make_problem(i):
+        r = np.random.default_rng(i)
+        from scipy.spatial.transform import Rotation as sciR
+        R = sciR.random(random_state=i).as_matrix()
+        t = np.concatenate((r.uniform(-5, 5, 2), r.uniform(400, 600, 1)))
+        p3 = r.uniform(-50, 50, (n_pts, 3))
+        uv = (p3 @ R.T + t) @ K.T
+        uv = uv[:, :2] / uv[:, 2:3] + r.normal(0, 2.0, (n_pts, 2))
+        return (p3.astype(np.float32), uv.astype(np.float32),
+                K.astype(np.float32))
+
+    problems = [make_problem(i) for i in range(BATCH)]
+
+    # reference cv2_solver.get_workers: multiprocessing.Pool(6)
+    with multiprocessing.Pool(6) as pool:
+        pool.map(_ref_solve_one, problems)  # warm
+        t0 = time.perf_counter()
+        n_rep = 10
+        for _ in range(n_rep):
+            pool.map(_ref_solve_one, problems)
+        dt = (time.perf_counter() - t0) / n_rep
+    ransac_cps = BATCH / dt
+
+    return {
+        "metric": "MEASURED reference host stage: cv2.solvePnPRansac pool(6), "
+                  f"{n_pts} pts, 150 iters, batch {BATCH} (upper-bounds "
+                  "reference end-to-end crops/s on this host; "
+                  "lib/pnp/cv2_solver.py:93-108, test.py:120)",
+        "value": round(ransac_cps, 2),
+        "unit": "crops/s",
+        "vs_baseline": 1.0,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--mode', default='headline',
+                    choices=['headline', 'infer_raw', 'train', 'mfu', 'ref'])
+    mode = ap.parse_args().mode
+    if mode == 'headline':
+        out = bench_inference(blend_field=True)
+    elif mode == 'infer_raw':
+        out = bench_inference(blend_field=False)
+    elif mode == 'train':
+        out = bench_train()
+    elif mode == 'mfu':
+        out = bench_mfu()
+    else:
+        out = bench_ref()
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

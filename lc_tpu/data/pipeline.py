@@ -33,30 +33,12 @@ from .augment import color_augment, switch_background
 from .crop import batched_separable_warp
 from .model_info import load_composed_model_info
 from ..geom.affine import crop_affine, affine33
-from ..geom.symmetry import symmetry_pose_candidates, pad_candidates
+from ..geom.symmetry import (DATASET_SYMMETRIC_OBJ_IDS,
+                              symmetry_pose_candidates, pad_candidates)
 from .. import codec
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
-
-# reference dataset.py:21-35
-DATASET_SYMMETRIC_OBJ_IDS = {
-    "lm": [3, 7, 10, 11],
-    "lmo": [10, 11],
-    "tless": list(range(1, 31)),
-    "tudl": [],
-    "tyol": [3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 15, 16, 17, 18, 19, 21],
-    "ruapc": [8, 9, 12, 13],
-    "icmi": [1, 2, 6],
-    "icbin": [1],
-    "itodd": [2, 3, 4, 5, 7, 8, 9, 11, 12, 14, 17, 18, 19, 23, 24, 25, 27, 28],
-    "hbs": [10, 12, 18, 29],
-    "hb": [6, 10, 11, 12, 13, 14, 18, 24, 29],
-    "ycbv": [1, 13, 14, 16, 18, 19, 20, 21],
-    "ycbvposecnn": [13, 16, 19, 20, 21],
-    "synthetic": [],
-    "synthetic_sym": [1],
-}
 
 CHECK_PT_CNT = 256
 
@@ -73,7 +55,8 @@ def _load_detections(det_path: str) -> dict:
             per_obj.setdefault(d['obj_id'], []).append(d)
         for oid, lst in per_obj.items():
             best = sorted(lst, key=lambda d: d['score'])[-1]
-            det[f'{k}_{oid}'] = np.asarray(best['bbox_est'], np.float32)
+            det[f'{k}_{oid}'] = (np.asarray(best['bbox_est'], np.float32),
+                                 float(best.get('score', 1.0)))
     return det
 
 
@@ -105,7 +88,7 @@ class BOPDataset:
                 key = f"{im['scene_id']}/{im['im_id']}_{inst['obj_id']}"
                 if key in det:
                     inst = dict(inst)
-                    inst['bbox_det'] = det[key]
+                    inst['bbox_det'], inst['det_score'] = det[key]
                     kept.append((im, inst))
             annots = kept
         if not annots:
@@ -338,6 +321,10 @@ class BOPDataset:
 
         if not train:
             blob['pixel_aug'] = np.bool_(False)
+            # detector confidence rides into the BOP result CSV (the reference
+            # hardcodes score=1, test.py:190 — carrying the real score is a
+            # strict improvement for BOP-toolkit cross-scoring)
+            blob['det_score'] = np.float32(inst_info.get('det_score', 1.0))
             return blob
 
         # --- training-only parts ---
@@ -450,7 +437,8 @@ class Loader:
             self.epoch, self._skip = divmod(int(batch_index), n)
 
     def __iter__(self):
-        rng = np.random.default_rng((self.seed, self.epoch))
+        epoch = self.epoch
+        rng = np.random.default_rng((self.seed, epoch))
         order = np.arange(len(self.ds))
         if self.shuffle:
             rng.shuffle(order)
@@ -465,7 +453,6 @@ class Loader:
         cursor = [0]
 
         def worker(tid):
-            wrng = np.random.default_rng((self.seed, self.epoch, tid))
             while True:
                 with lock:
                     i = cursor[0]
@@ -473,7 +460,13 @@ class Loader:
                         break
                     cursor[0] += 1
                 idxs = batches[i]
-                samples = [self._sample_ok(int(j), wrng) for j in idxs]
+                # per-batch RNG keyed on (seed, epoch, absolute batch index):
+                # augmentation draws are independent of thread assignment and
+                # arrival order, so every run — and every resume — replays the
+                # identical stream (same scheme as MPLoader; the reference
+                # restores the DataLoader RNG state for the same effect)
+                brng = np.random.default_rng((self.seed, epoch, skip + i))
+                samples = [self._sample_ok(int(j), brng) for j in idxs]
                 q.put((i, collate(samples)))
             q.put((None, None))
 
@@ -653,19 +646,23 @@ class MPLoader:
         self._pool.shutdown(wait=False, cancel_futures=True)
 
 
-def device_prefetch(host_iter, preprocess_fn, keys, size: int = 2):
+def device_prefetch(host_iter, preprocess_fn, keys, size: int = 2, place=None):
     """Overlap host->device transfer + preprocessing with device compute.
 
     host_iter yields host batches; preprocess_fn(batch_dev, key) -> gt blob;
     keys is an iterator of PRNG keys (one per step). Dispatches `size` batches
     ahead (JAX dispatch is async, so the transfers and the preprocessing program
-    run while the previous train step executes).
+    run while the previous train step executes). `place` overrides the default
+    host->device transfer — the data-parallel path passes a batch-sharding
+    device_put so each shard lands on its mesh device directly.
     """
     import collections
     buf = collections.deque()
+    place = place or (lambda batch: {k: jnp.asarray(v)
+                                     for k, v in batch.items()})
 
     def stage(batch):
-        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        dev = place(batch)
         return preprocess_fn(dev, next(keys))
 
     it = iter(host_iter)

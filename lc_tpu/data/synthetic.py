@@ -68,6 +68,33 @@ def _write_ply_ascii(path: str, verts: np.ndarray):
             f.write(f'{v[0]:.4f} {v[1]:.4f} {v[2]:.4f}\n')
 
 
+def box_mesh(half_extents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Triangulated box: (8, 3) corners, (12, 3) faces."""
+    he = np.asarray(half_extents, np.float32)
+    corners = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                        for sz in (-1, 1)], np.float32) * he
+    quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1), (2, 3, 7, 6),
+             (0, 2, 6, 4), (1, 5, 7, 3)]
+    faces = []
+    for a, b, c, d in quads:
+        faces += [(a, b, c), (a, c, d)]
+    return corners, np.asarray(faces, np.int64)
+
+
+def _write_ply_mesh_ascii(path: str, verts: np.ndarray, faces: np.ndarray):
+    with open(path, 'w') as f:
+        f.write('ply\nformat ascii 1.0\n'
+                f'element vertex {len(verts)}\n'
+                'property float x\nproperty float y\nproperty float z\n'
+                f'element face {len(faces)}\n'
+                'property list uchar int vertex_indices\n'
+                'end_header\n')
+        for v in verts:
+            f.write(f'{v[0]:.4f} {v[1]:.4f} {v[2]:.4f}\n')
+        for fc in faces:
+            f.write(f'3 {fc[0]} {fc[1]} {fc[2]}\n')
+
+
 def box_surface_points(half_extents: np.ndarray, n_per_face: int = 64
                        ) -> np.ndarray:
     """Evenly sampled points on the box surface (models_eval stand-in)."""
@@ -117,6 +144,10 @@ def generate_dataset(root: str, *, n_images: int = 24, obj_id: int = 1,
     _write_ply_ascii(osp.join(root, 'models_eval', f'obj_{obj_id:06d}.ply'), verts)
     with open(osp.join(root, 'models_eval', 'models_info.json'), 'w') as f:
         json.dump({str(obj_id): info}, f)
+    # triangulated mesh under models/ so tools/gen_z.py can re-render z_crop
+    mv, mf = box_mesh(he)
+    _write_ply_mesh_ascii(osp.join(root, 'models', f'obj_{obj_id:06d}.ply'),
+                          mv, mf)
 
     scene_gt, scene_gt_info, scene_cam = {}, {}, {}
     frames = []

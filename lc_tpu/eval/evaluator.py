@@ -18,25 +18,7 @@ import numpy as np
 from .error6d import batched_pose_errors
 from .ply import load_ply_vertices
 from ..data import bop
-
-# reference lib/utils/evaluate.py:20-34
-DATASET_SYMMETRIC_OBJ_IDS = {
-    "lm": [3, 7, 10, 11],
-    "lmo": [10, 11],
-    "tless": list(range(1, 31)),
-    "tudl": [],
-    "tyol": [3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 15, 16, 17, 18, 19, 21],
-    "ruapc": [8, 9, 12, 13],
-    "icmi": [1, 2, 6],
-    "icbin": [1],
-    "itodd": [2, 3, 4, 5, 7, 8, 9, 11, 12, 14, 17, 18, 19, 23, 24, 25, 27, 28],
-    "hbs": [10, 12, 18, 29],
-    "hb": [6, 10, 11, 12, 13, 14, 18, 24, 29],
-    "ycbv": [1, 13, 14, 16, 18, 19, 20, 21],
-    "ycbvposecnn": [13, 16, 19, 20, 21],
-    "synthetic": [],
-    "synthetic_sym": [1],
-}
+from ..geom.symmetry import DATASET_SYMMETRIC_OBJ_IDS
 
 LM_OBJ_NAMES = {1: "ape", 2: "benchvise", 3: "bowl", 4: "camera", 5: "can",
                 6: "cat", 7: "cup", 8: "driller", 9: "duck", 10: "eggbox",
@@ -107,6 +89,9 @@ class Evaluator:
                     scene_id=im_info['scene_id'], im_id=im_info['im_id'],
                     obj_id=inst['obj_id'], R_gt=inst['cam_R_m2c'],
                     t_gt=inst['cam_t_m2c'], score=0, R_est=None, t_est=None,
+                    cam_K=np.asarray(im_info['cam_K'],
+                                     np.float32).reshape(3, 3),
+                    im_w=float(im_info['im_wh'][0]),
                     time_est=sys.float_info.max, add=sys.float_info.max,
                     adi=sys.float_info.max, re=sys.float_info.max,
                     te=sys.float_info.max))
@@ -147,9 +132,75 @@ class Evaluator:
                     matched[i][k] = float(errs[k][j])
         return matched
 
-    def evaluate(self, outputs, errors=None):
+    def _sym_transforms(self, oid, max_sym_disc_step=0.01):
+        """BOP symmetry transform set incl. identity (semantics of the vendored
+        toolkit's get_symmetry_transformations, tools/lib/pysixd/misc.py:206-254:
+        identity + discrete syms, continuous syms discretized at
+        max_sym_disc_step and composed with the discrete set)."""
+        from scipy.spatial.transform import Rotation as sciR
+        info = self.models_info[oid]
+        disc = [(np.eye(3, dtype=np.float64), np.zeros(3, np.float64))]
+        for m in info.get('symmetries_discrete', []):
+            M = np.asarray(m, np.float64).reshape(4, 4)
+            disc.append((M[:3, :3], M[:3, 3]))
+        cont = []
+        for c in info.get('symmetries_continuous', []):
+            axis = np.asarray(c['axis'], np.float64)
+            axis = axis / np.linalg.norm(axis)
+            offset = np.asarray(c.get('offset', [0, 0, 0]), np.float64)
+            n_steps = int(np.ceil(np.pi / max_sym_disc_step))
+            for i in range(1, n_steps):
+                R = sciR.from_rotvec(axis * (2 * np.pi * i / n_steps)
+                                     ).as_matrix()
+                cont.append((R, offset - R @ offset))
+        out = []
+        for Rd, td in disc:
+            if cont:
+                for Rc, tc in cont:
+                    out.append((Rc @ Rd, Rc @ td + tc))
+            else:
+                out.append((Rd, td))
+        Rs = np.stack([o[0] for o in out]).astype(np.float32)
+        ts = np.stack([o[1] for o in out]).astype(np.float32)
+        return Rs, ts
+
+    def compute_bop_errors(self, matched, max_sym_disc_step=0.01, chunk=16):
+        """Add BOP'19 mssd/mspd per matched instance (error6d.mssd_err/mspd_err;
+        symmetry set from _sym_transforms). Optional — not in the reference's
+        score path, but required for BOP-toolkit-style AR reporting."""
+        import jax
+        import jax.numpy as jnp
+        from .error6d import mssd_err, mspd_err
+        by_obj = defaultdict(list)
+        for i, g in enumerate(matched):
+            if g['R_est'] is not None:
+                by_obj[g['obj_id']].append(i)
+        for oid, idxs in by_obj.items():
+            pts = jnp.asarray(self.models[oid])
+            sym_R, sym_t = self._sym_transforms(oid, max_sym_disc_step)
+            sym_R, sym_t = jnp.asarray(sym_R), jnp.asarray(sym_t)
+            for c0 in range(0, len(idxs), chunk):
+                sub = idxs[c0:c0 + chunk]
+                get = lambda k: jnp.asarray(np.stack(  # noqa: E731
+                    [np.asarray(matched[i][k], np.float32) for i in sub]))
+                R_e, t_e = get('R_est').reshape(-1, 3, 3), get('t_est').reshape(-1, 3)
+                R_g, t_g = get('R_gt').reshape(-1, 3, 3), get('t_gt').reshape(-1, 3)
+                K = get('cam_K')
+                ms = np.asarray(mssd_err(R_e, t_e, R_g, t_g, pts, sym_R, sym_t))
+                mp = np.asarray(mspd_err(R_e, t_e, R_g, t_g, K, pts,
+                                         sym_R, sym_t))
+                for j, i in enumerate(sub):
+                    matched[i]['mssd'] = float(ms[j])
+                    matched[i]['mspd'] = float(mp[j])
+        return matched
+
+    def evaluate(self, outputs, errors=None, bop=False):
+        """bop=True additionally computes BOP'19 mssd/mspd and their average
+        recalls (AR over the standard threshold grids)."""
         if errors is None:
             errors = self.compute_errors(self.match_results_to_gt(outputs))
+            if bop:
+                errors = self.compute_bop_errors(errors)
         if self.symmetric_obj_ids is not None:
             sym_ids = self.symmetric_obj_ids
         elif self.dataset_name is not None:
@@ -183,6 +234,18 @@ class Evaluator:
                 sd[f'add(-s)_{th:.2f}'] = float((ad_v < th * diameter).sum() / n)
                 sd[f'add-s_{th:.2f}'] = float((adi_v < th * diameter).sum() / n)
                 sd[f'add_{th:.2f}'] = float((add_v < th * diameter).sum() / n)
+            if all('mssd' in e for e in errs):
+                # BOP'19 average recalls: MSSD over θ=0.05..0.5·diameter,
+                # MSPD over r=5..50 px scaled by im_width/640
+                mssd_v = np.array([e['mssd'] for e in errs])
+                mspd_v = np.array([e['mspd'] for e in errs])
+                w = np.array([e.get('im_w', 640.0) for e in errs])
+                sd['bop_mssd_ar'] = float(np.mean(
+                    [(mssd_v < th * diameter).sum() / n
+                     for th in np.arange(0.05, 0.51, 0.05)]))
+                sd['bop_mspd_ar'] = float(np.mean(
+                    [(mspd_v < r * w / 640.0).sum() / n
+                     for r in np.arange(5, 51, 5)]))
             out[oid] = sd
         return out
 
@@ -211,7 +274,11 @@ def gen_score_table(per_obj_score, obj_id_2_name=None, dataset_name=None,
 
 
 def csv_from_results(results: dict) -> dict:
-    """BOP-format CSV per solver (reference test.py:189-206)."""
+    """BOP-format CSV per solver (reference test.py:189-206).
+
+    The reference hardcodes score=1 and time=-1 (test.py:190-191); here the real
+    detector confidence and measured per-instance wall time ride through when
+    run_test recorded them (BOP-toolkit cross-scoring uses both)."""
     csvs = {}
     for name, res in results.items():
         lines = []
@@ -221,8 +288,8 @@ def csv_from_results(results: dict) -> dict:
             R = np.asarray(e['R_est']).reshape(-1)
             t = np.asarray(e['t_est']).reshape(-1)
             lines.append(','.join(map(str, (
-                e['scene_id'], e['im_id'], e['obj_id'], 1,
+                e['scene_id'], e['im_id'], e['obj_id'], e.get('score', 1),
                 ' '.join(str(v) for v in R),
-                ' '.join(str(v) for v in t), -1))) + '\n')
+                ' '.join(str(v) for v in t), e.get('time', -1)))) + '\n')
         csvs[name] = ''.join(lines)
     return csvs

@@ -5,7 +5,9 @@ and used by both CLI entry points and the tests.
 """
 from __future__ import annotations
 
+import functools
 import logging
+import time
 
 import numpy as np
 import jax
@@ -153,9 +155,21 @@ def get_evaluator(cfg) -> Evaluator:
                      visib_fract_th=ds.visib_frac)
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_apply(model):
+    """One jitted eval-forward per model (flax Modules hash by definition), so
+    repeated run_test calls — e.g. in-training eval every test_every steps —
+    reuse the compiled program instead of re-tracing a fresh lambda."""
+    return jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+
 def run_test(cfg, model, variables, loader, dataset, evaluator,
-             score_key: str = 'add(-s)_0.10', seed: int = 0) -> dict:
-    """Full inference + evaluation pass (reference test.py:151-186)."""
+             score_key: str = 'add(-s)_0.10', seed: int = 0, mesh=None) -> dict:
+    """Full inference + evaluation pass (reference test.py:151-186).
+
+    With a mesh, eval batches are padded to a device multiple (repeating the
+    last crop; padded rows dropped from results) and sharded over the 'data'
+    axis; the CNN, decode, RANSAC and LM refine then all run SPMD."""
     solver_cfg = cfg.pnp_solver
     bit_cnt = dataset.bit_cnt
     black_bg = cfg.get('black_background', False)
@@ -163,12 +177,22 @@ def run_test(cfg, model, variables, loader, dataset, evaluator,
     sparse = cfg.get('sparse_cnt', 0) > 3
     key = jax.random.PRNGKey(seed)
 
-    apply_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    if mesh is not None:
+        from .parallel.mesh import pad_to_multiple, replicate, shard_batch
+        variables = replicate(mesh, variables)
+
+    apply_fn = _jitted_apply(model)
     results: dict[str, list] = {}
     for batch in loader:
+        t_start = time.perf_counter()
+        n_valid = len(batch['im_id'])
         key, k_solve = jax.random.split(key)
-        gt = device_preprocess({k: jnp.asarray(v) for k, v in batch.items()},
-                               key, **pp_kwargs)
+        if mesh is not None:
+            batch, n_valid = pad_to_multiple(batch, mesh.devices.size)
+            dev_batch = shard_batch(mesh, batch)
+        else:
+            dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        gt = device_preprocess(dev_batch, key, **pp_kwargs)
         out = apply_fn(variables, gt['img_in'])
         rel = solver_cfg.get('rel_reproj_err', False)
         # relative threshold = 2 px at full-image scale (reference test.py:57,115-117)
@@ -190,18 +214,26 @@ def run_test(cfg, model, variables, loader, dataset, evaluator,
         im_ids = batch['im_id'].tolist()
         scene_ids = batch['scene_id'].tolist()
         obj_ids = batch['obj_id'].tolist()
+        scores = batch.get('det_score', np.ones(len(im_ids), np.float32))
+        states = {k: jax.tree.map(np.asarray, v) for k, v in states.items()}
+        # per-instance wall time (preprocess+CNN+solve incl. device sync) — the
+        # BOP CSV 'time' column; reference hardcodes -1 (test.py:191)
+        batch_time = time.perf_counter() - t_start
         for name, pose7 in states.items():
             R, t = pose7_to_RT(pose7)
             R = np.asarray(R)
             t = np.asarray(t)
             lst = results.setdefault(name, [])
-            for i in range(len(im_ids)):
+            for i in range(n_valid):
                 lst.append(dict(obj_id=obj_ids[i], im_id=im_ids[i],
-                                scene_id=scene_ids[i], R_est=R[i], t_est=t[i]))
+                                scene_id=scene_ids[i], R_est=R[i], t_est=t[i],
+                                score=float(scores[i]),
+                                time=batch_time / max(n_valid, 1)))
 
     outputs = {}
+    bop_scores = bool(cfg.get('eval_bop_scores', False))
     for name, res in results.items():
-        per_obj, errors = evaluator.evaluate(res)
+        per_obj, errors = evaluator.evaluate(res, bop=bop_scores)
         tables = gen_score_table(per_obj, dataset_name=evaluator.dataset_name)
         avg = sum(d[score_key] for d in per_obj.values()) / max(len(per_obj), 1)
         outputs[name] = dict(avg_score=avg, per_obj_score=per_obj,

@@ -19,6 +19,38 @@ def make_mesh(n_devices: int | None = None, axis_name: str = 'data') -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def maybe_init_distributed() -> None:
+    """Initialize jax.distributed for multi-process (multi-host) runs.
+
+    One process per host on a pod slice; single-process runs (including the
+    single-chip tunnel and the virtual CPU mesh) skip it. Opt-in via the
+    standard JAX coordinator env vars or LC_TPU_DIST=1 (auto-detection from the
+    TPU metadata server is what jax.distributed.initialize() itself does)."""
+    import os
+    if os.environ.get('LC_TPU_DIST') == '1' or \
+            os.environ.get('JAX_COORDINATOR_ADDRESS'):
+        jax.distributed.initialize()
+
+
+def auto_mesh(axis_name: str = 'data') -> Mesh | None:
+    """The production mesh: all visible devices on one 'data' axis, or None when
+    there is a single device (plain jit, no sharding constraints)."""
+    return make_mesh(None, axis_name) if jax.device_count() > 1 else None
+
+
+def pad_to_multiple(batch: dict, multiple: int):
+    """Pad every array's leading axis to a multiple of `multiple` by repeating
+    the last element (eval batches; padded rows are dropped from results).
+    Returns (padded_batch, n_valid)."""
+    n = len(next(iter(batch.values())))
+    pad = (-n) % multiple
+    if pad == 0:
+        return batch, n
+    out = {k: np.concatenate((v, np.repeat(v[-1:], pad, axis=0)), axis=0)
+           for k, v in batch.items()}
+    return out, n
+
+
 def shard_batch(mesh: Mesh, batch, axis_name: str = 'data'):
     """Place a host batch with the leading axis sharded over the mesh."""
     sharding = NamedSharding(mesh, P(axis_name))

@@ -174,9 +174,20 @@ def lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
                     n_iter=out.n_iter, radius=out.radius)
 
 
-def _on_tpu() -> bool:
+def _on_tpu(*arrays) -> bool:
+    """True when the solve will run on TPU: decided by where the operand data
+    actually lives when concrete (mixed-backend safe), falling back to the
+    default backend for tracers (a jit without an explicit device compiles for
+    the default backend, so the two agree)."""
+    for a in arrays:
+        devices = getattr(a, 'devices', None)
+        if callable(devices):
+            try:
+                return any(d.platform in ('tpu', 'axon') for d in a.devices())
+            except Exception:  # noqa: BLE001 — tracer or uncommitted array
+                break
     try:
-        return jax.devices()[0].platform in ('tpu', 'axon')
+        return jax.default_backend() in ('tpu', 'axon')
     except Exception:  # noqa: BLE001
         return False
 
@@ -187,7 +198,7 @@ def lm_refine_auto(pose7_init, cam_K, pts3d, pts2d, weights, valid=None, *,
     problem stops at its own convergence, everything VMEM-resident — measured
     ~650x faster than the lockstep XLA while_loop on hard 1024-point batches),
     the XLA solver elsewhere. Dispatch happens at trace time."""
-    if _on_tpu():
+    if _on_tpu(pose7_init):
         from .pallas_lm import pallas_lm_refine
         return pallas_lm_refine(pose7_init, cam_K, pts3d, pts2d, weights,
                                 valid, max_iter=max_iter,

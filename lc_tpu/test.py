@@ -22,6 +22,8 @@ logger = logging.getLogger(__name__)
 
 
 def main(argv=None):
+    from .parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()  # must precede any backend initialization
     parser = argparse.ArgumentParser()
     parser.add_argument('--weight', type=str, required=True)
     parser.add_argument('--config', type=str, required=True)
@@ -68,8 +70,19 @@ def main(argv=None):
     except Exception:  # plain {'params','batch_stats'} export
         variables, _ = load_state(args.weight, variables)
 
+    if args.deterministic:
+        # reference test.py:249-253: deterministic algorithms + cv2 RNG seed.
+        # XLA is deterministic at fixed shapes; the remaining nondeterminism is
+        # host-side (cv2 internals, numpy) — pin both, plus the solve PRNG seed.
+        import cv2
+        import numpy as np
+        cv2.setRNGSeed(0)
+        np.random.seed(0)
+
+    from .parallel.mesh import auto_mesh
     results = harness.run_test(cfg, model, variables, test_loader, test_set,
-                               evaluator, seed=0 if args.deterministic else 1)
+                               evaluator, seed=0 if args.deterministic else 1,
+                               mesh=auto_mesh())
 
     table = ''
     for name, res in results.items():

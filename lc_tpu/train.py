@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from . import harness
 from .data.pipeline import device_preprocess
 from .optim.factory import build_optimizer
+from .parallel.mesh import auto_mesh, maybe_init_distributed, replicate, \
+    shard_batch
 from .parallel.train_step import create_train_state, make_train_step
 from .utils.checkpoint import Checkpoint
 from .utils.config import load_config
@@ -68,12 +70,28 @@ def eval_variables(state):
     return {'params': state.params, 'batch_stats': state.batch_stats}
 
 
-def train(args, cfg, outdir: str):
+def train(args, cfg, outdir: str, mesh='auto', record_metrics=None):
+    """The production loop. `mesh`: 'auto' builds the all-device data-parallel
+    mesh when >1 device is visible (batch sharded over 'data', params/optimizer
+    replicated, gradient all-reduce over ICI inserted by the SPMD partitioner);
+    None forces single-device; a Mesh instance is used as-is.
+    `record_metrics`: optional list — every step's metrics dict (device scalars,
+    no sync) is appended, for tests that compare sharded vs single-device runs."""
     import tensorboardX
     comps = build_training(cfg)
     model, state, step_fn = comps['model'], comps['state'], comps['step_fn']
     num_steps = comps['num_steps']
     pp_kwargs = comps['pp_kwargs']
+
+    if mesh == 'auto':
+        mesh = auto_mesh()
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        batch_size = cfg.dataloader.batch_size
+        assert batch_size % n_dev == 0, (
+            f'batch_size {batch_size} not divisible by {n_dev} devices')
+        logger.info('data-parallel over %d devices (%s), %d crops/device',
+                    n_dev, mesh.devices.flat[0].platform, batch_size // n_dev)
 
     writer = tensorboardX.SummaryWriter(outdir)
     ckpter = Checkpoint.by_step(
@@ -85,6 +103,8 @@ def train(args, cfg, outdir: str):
         state, aux = ckpter.resume(state, ckpt_path=args.ckpt)
         start_step = int(aux.get('step', 0))
         logger.info('resumed from step %d', start_step)
+    if mesh is not None:
+        state = replicate(mesh, state)
     if start_step >= num_steps:
         return state
 
@@ -122,15 +142,18 @@ def train(args, cfg, outdir: str):
             s += 1
 
     from .data.pipeline import device_prefetch
+    place = (lambda b: shard_batch(mesh, b)) if mesh is not None else None
     gt_iter = device_prefetch(
         endless_batches(),
         lambda dev, k: device_preprocess(dev, k, **pp_kwargs),
-        keys=pp_keys(), size=2)
+        keys=pp_keys(), size=2, place=place)
 
     while step < num_steps:
         gt = next(gt_iter)
         k_step = jax.random.split(step_key(root_key, step))[1]
         state, metrics = step_fn(state, gt, k_step)
+        if record_metrics is not None:
+            record_metrics.append(metrics)
         step += 1
 
         if step % 20 == 0 or step == 1:
@@ -147,7 +170,7 @@ def train(args, cfg, outdir: str):
                 and step >= test_start and step != num_steps:
             res = harness.run_test(cfg, model, eval_variables(state),
                                    comps['test_loader'], comps['test_set'],
-                                   comps['evaluator'])
+                                   comps['evaluator'], mesh=mesh)
             score = next(iter(res.values()))['avg_score']
             writer.add_scalar('eval/score', score, step)
         ckpter.step(state, step=step, score=score)
@@ -162,6 +185,7 @@ def train(args, cfg, outdir: str):
 
 
 def main(argv=None):
+    maybe_init_distributed()
     parser = argparse.ArgumentParser()
     parser.add_argument('--config', type=str, default='configs/glmo.yaml')
     parser.add_argument('--output', type=str, default='output')

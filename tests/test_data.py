@@ -30,9 +30,39 @@ class TestRLE:
         m[2:5, 3:7] = 1
         assert rle.area(rle.encode(m)) == 12
 
-    @pytest.mark.skipif(True, reason="pycocotools not installed in this image")
-    def test_vs_pycocotools(self):
-        pass
+    def test_golden_coco_semantics(self):
+        """Hand-built COCO uncompressed-RLE goldens (pycocotools is absent in
+        this image, so the convention — column-major flattening, counts
+        alternating 0-runs then 1-runs, leading zero-count when the mask starts
+        with 1 — is pinned by hand-derived fixtures instead)."""
+        m = np.array([[0, 1, 1, 0],
+                      [0, 1, 0, 0],
+                      [1, 1, 0, 1]], np.uint8)
+        # col-major flat: 0,0,1 | 1,1,1 | 1,0,0 | 0,0,1 -> runs 0x2 1x5 0x4 1x1
+        golden = np.array([2, 5, 4, 1], np.int64)
+        enc = rle.encode(m)
+        np.testing.assert_array_equal(enc['counts'], golden)
+        assert enc['size'] == [3, 4]
+        np.testing.assert_array_equal(
+            rle.decode({'size': [3, 4], 'counts': golden}), m)
+        assert rle.area(enc) == 6
+
+        # leading-one mask: first count must be an explicit 0
+        m1 = np.array([[1, 0],
+                       [1, 1]], np.uint8)
+        # col-major: 1,1,0,1 -> 0x0 1x2 0x1 1x1
+        golden1 = np.array([0, 2, 1, 1], np.int64)
+        np.testing.assert_array_equal(rle.encode(m1)['counts'], golden1)
+        np.testing.assert_array_equal(
+            rle.decode({'size': [2, 2], 'counts': golden1}), m1)
+
+    def test_native_decode_matches_golden(self):
+        from lc_tpu.data import native
+        golden = np.array([2, 5, 4, 1], np.int64)
+        expect = np.array([[0, 1, 1, 0],
+                           [0, 1, 0, 0],
+                           [1, 1, 0, 1]], np.uint8)
+        np.testing.assert_array_equal(native.rle_decode(golden, 3, 4), expect)
 
 
 class TestCrop:

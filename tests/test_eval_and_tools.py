@@ -1,3 +1,4 @@
+import os
 import os.path as osp
 
 import numpy as np
@@ -88,6 +89,92 @@ class TestEvaluatorEndToEnd:
         # unmatched results count as misses
         per_obj2, _ = evaluator.evaluate(results[:2])
         assert per_obj2[1]['add(-s)_0.10'] == pytest.approx(2 / 5)
+
+    def test_bop_scores_optional(self, tmp_path):
+        """bop=True adds mssd/mspd per error and BOP'19 ARs per object;
+        GT-as-estimate gives zero errors and AR=1."""
+        root = str(tmp_path)
+        flist = synthetic.generate_dataset(root, n_images=4, split='test_syn',
+                                           seed=3, list_name='l.txt',
+                                           symmetric=True)
+        evaluator = ev.Evaluator([flist], root, 'synthetic_sym', obj_ids=[1],
+                                 visib_fract_th=0)
+        results = [dict(scene_id=g['scene_id'], im_id=g['im_id'],
+                        obj_id=g['obj_id'], R_est=g['R_gt'], t_est=g['t_gt'])
+                   for g in evaluator.gts]
+        per_obj, errors = evaluator.evaluate(results, bop=True)
+        assert all(e['mssd'] < 1e-3 and e['mspd'] < 1e-3 for e in errors)
+        assert per_obj[1]['bop_mssd_ar'] == 1.0
+        assert per_obj[1]['bop_mspd_ar'] == 1.0
+        # symmetry-aware: a 180° flip about the symmetry axis is a zero-mssd
+        # pose for this object but a large plain-ADD pose
+        info = evaluator.models_info[1]
+        sym = np.asarray(info['symmetries_discrete'][0]).reshape(4, 4)
+        flipped = [dict(r, R_est=np.asarray(r['R_est']) @ sym[:3, :3],
+                        t_est=r['t_est']) for r in results]
+        per_obj_f, errors_f = evaluator.evaluate(flipped, bop=True)
+        assert all(e['mssd'] < 1e-2 for e in errors_f)
+        assert per_obj_f[1]['bop_mssd_ar'] == 1.0
+
+    def test_sym_transforms_semantics(self, tmp_path):
+        """_sym_transforms matches the BOP toolkit composition rules
+        (pysixd/misc.py:206-254): identity first, continuous offset handling
+        t = offset − R·offset, and discrete∘continuous composition."""
+        root = str(tmp_path)
+        flist = synthetic.generate_dataset(root, n_images=1, split='t',
+                                           seed=0, list_name='l.txt')
+        evaluator = ev.Evaluator([flist], root, 'synthetic',
+                                 visib_fract_th=0)
+        # inject a continuous z-symmetry with an offset
+        evaluator.models_info[1] = dict(
+            evaluator.models_info[1],
+            symmetries_continuous=[dict(axis=[0, 0, 1], offset=[5.0, 0, 0])])
+        Rs, ts = evaluator._sym_transforms(1, max_sym_disc_step=np.pi / 4)
+        # pysixd composes disc (here: identity only) with cont steps i=1..3 —
+        # the pure identity is NOT in the set when continuous syms exist
+        # (misc.py:238-246,252); at the standard 0.01 step this is immaterial
+        assert Rs.shape == (3, 3, 3)
+        off = np.array([5.0, 0, 0])
+        for R, t in zip(Rs, ts):
+            np.testing.assert_allclose(t, off - R @ off, atol=1e-5)
+            # rotation about z: axis preserved
+            np.testing.assert_allclose(R @ np.array([0, 0, 1.0]),
+                                       [0, 0, 1.0], atol=1e-6)
+
+
+class TestGenZCLI:
+    def test_reference_form_regenerates_z_crop(self, tmp_path, monkeypatch):
+        """`gen_z.py --dataset ... --data_dir <split_dir> --scene N` (the
+        reference CLI, tools/gen_z.py:192-226) reproduces the loader-consumed
+        z_crop blobs on the synthetic dataset."""
+        import gzip
+        import pickle
+        import shutil
+        import subprocess
+        import sys
+        root = str(tmp_path)
+        synthetic.generate_dataset(root, n_images=2, split='train_syn', seed=0)
+        split_dir = osp.join(root, 'train_syn')
+        orig = sorted(os.listdir(osp.join(split_dir, 'z_crop', '000001')))
+        with gzip.open(osp.join(split_dir, 'z_crop', '000001', orig[0])) as f:
+            golden = pickle.load(f)
+        shutil.rmtree(osp.join(split_dir, 'z_crop'))
+        out = subprocess.run(
+            [sys.executable, osp.join(osp.dirname(__file__), '..', 'tools',
+                                      'gen_z.py'),
+             '--data_dir', split_dir, '--scene', '1'],
+            capture_output=True, text=True, env={**os.environ,
+                                                 'JAX_PLATFORMS': 'cpu'})
+        assert out.returncode == 0, out.stderr
+        regen = sorted(os.listdir(osp.join(split_dir, 'z_crop', '000001')))
+        assert regen == orig
+        with gzip.open(osp.join(split_dir, 'z_crop', '000001', regen[0])) as f:
+            blob = pickle.load(f)
+        assert set(blob) == set(golden)
+        # same bbox; depth within the uint16 quantization of the rasterizer
+        assert tuple(blob['xyxy']) == tuple(golden['xyxy'])
+        assert abs(blob['z_min'] - golden['z_min']) < 1.0
+        assert abs(blob['z_max'] - golden['z_max']) < 1.0
 
 
 class TestMeshRasterizer:

@@ -1,12 +1,20 @@
 """Offline z_crop depth-patch generation (reference tools/gen_z.py equivalent).
 
-    python tools/gen_z.py --dataset lmo --data_dir datasets/BOP_DATASETS/lmo \
-        --split train --scenes 1 2 ...
+Reference-parity invocation (tools/gen_z.py:192-226 — data_dir IS the split
+directory, scene range via --begin/--end or --scene):
+
+    python tools/gen_z.py --dataset lmo --data_dir .../lmo/train_pbr \
+        [--scene 3 | --begin 0 --end 10] [--xyz_root ...] [--model_dir ...] \
+        [--remove_existing]
+
+Convenience form (dataset root + split name):
+
+    python tools/gen_z.py --data_dir .../lmo --split train --scenes 1 2 ...
 
 For every GT instance, renders the object's depth at the camera pose with the
 software rasterizer (no OpenGL needed), crops to the mask bbox, normalizes depth to
 uint16 1..65535 over [z_min, z_max], and writes gzip pickles
-{z_crop, xyxy, z_max, z_min} under <split>/z_crop/<scene>/<im>_<inst>.pkl.gz —
+{z_crop, xyxy, z_max, z_min} under <xyz_root>/<scene>/<im>_<inst>.pkl.gz —
 the exact format dataset loading consumes (reference tools/gen_z.py:169-187,
 consumed at dataset.py:287-311 / our data/pipeline.py _homo_z_full).
 """
@@ -32,14 +40,16 @@ def mask2bbox_xyxy(mask: np.ndarray):
     return int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())
 
 
-def process_scene(data_dir: str, split: str, scene_id: int, meshes: dict,
-                  im_hw=(480, 640)):
-    scene_dir = osp.join(data_dir, split, f'{scene_id:06d}')
+def process_scene(split_dir: str, scene_id: int, meshes: dict,
+                  xyz_root: str | None = None, im_hw=(480, 640),
+                  remove_existing: bool = False):
+    scene_dir = osp.join(split_dir, f'{scene_id:06d}')
     with open(osp.join(scene_dir, 'scene_gt.json')) as f:
         scene_gt = json.load(f)
     with open(osp.join(scene_dir, 'scene_camera.json')) as f:
         scene_cam = json.load(f)
-    out_dir = osp.join(data_dir, split, 'z_crop', f'{scene_id:06d}')
+    xyz_root = xyz_root or osp.join(split_dir, 'z_crop')
+    out_dir = osp.join(xyz_root, f'{scene_id:06d}')
     os.makedirs(out_dir, exist_ok=True)
 
     for im_key, insts in scene_gt.items():
@@ -48,8 +58,12 @@ def process_scene(data_dir: str, split: str, scene_id: int, meshes: dict,
         for inst_idx, inst in enumerate(insts):
             out_path = osp.join(out_dir, f'{im_id:06d}_{inst_idx:06d}.pkl.gz')
             if osp.exists(out_path):
-                continue
+                if not remove_existing:
+                    continue
+                os.remove(out_path)
             obj_id = inst['obj_id']
+            if obj_id not in meshes:
+                continue
             verts, faces = meshes[obj_id]
             R = np.asarray(inst['cam_R_m2c'], np.float64).reshape(3, 3)
             t = np.asarray(inst['cam_t_m2c'], np.float64).reshape(3)
@@ -75,25 +89,54 @@ def process_scene(data_dir: str, split: str, scene_id: int, meshes: dict,
         print(f'scene {scene_id} im {im_id}: done', flush=True)
 
 
+# reference gen_z.py class tables: which obj ids each dataset renders
+DATASET_OBJ_IDS = {
+    'lmo': [1, 5, 6, 8, 9, 10, 11, 12],
+    'ycbv': list(range(1, 22)),
+}
+
+
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument('--data_dir', required=True)
-    ap.add_argument('--split', default='train')
+    ap = argparse.ArgumentParser(description='gen z_crop')
+    ap.add_argument('--data_dir', required=True,
+                    help='split dir (reference form) or dataset root '
+                         '(with --split)')
+    ap.add_argument('--dataset', choices=['ycbv', 'lmo'],
+                    help='restrict rendered obj ids to the dataset class table '
+                         '(reference --dataset)')
+    ap.add_argument('--split', default=None,
+                    help='split name under data_dir; omit when data_dir IS the '
+                         'split dir (reference form)')
+    ap.add_argument('--scene', type=int, help='single scene (reference form)')
+    ap.add_argument('--begin', type=int, default=0)
+    ap.add_argument('--end', type=int, default=sys.maxsize)
     ap.add_argument('--scenes', type=int, nargs='*')
-    ap.add_argument('--model_dir', default='models')
+    ap.add_argument('--remove_existing', action='store_true')
+    ap.add_argument('--xyz_root', default=None,
+                    help='output root (default <split_dir>/z_crop)')
+    ap.add_argument('--model_dir', default=None,
+                    help='default <split_dir>/../models')
     args = ap.parse_args()
 
-    model_dir = osp.join(args.data_dir, args.model_dir)
+    split_dir = osp.join(args.data_dir, args.split) if args.split \
+        else args.data_dir
+    model_dir = args.model_dir or osp.join(split_dir, '..', 'models')
     with open(osp.join(model_dir, 'models_info.json')) as f:
         obj_ids = [int(k) for k in json.load(f)]
+    if args.dataset:
+        keep = set(DATASET_OBJ_IDS[args.dataset])
+        obj_ids = [o for o in obj_ids if o in keep]
     meshes = {oid: load_ply_mesh(osp.join(model_dir, f'obj_{oid:06d}.ply'))
               for oid in obj_ids}
 
-    split_dir = osp.join(args.data_dir, args.split)
-    scenes = args.scenes or sorted(
-        int(d) for d in os.listdir(split_dir) if d.isdigit())
+    if args.scene is not None:
+        args.begin, args.end = args.scene, args.scene + 1
+    all_scenes = sorted(int(d) for d in os.listdir(split_dir) if d.isdigit())
+    scenes = args.scenes or [s for s in all_scenes
+                             if args.begin <= s < args.end]
     for sid in scenes:
-        process_scene(args.data_dir, args.split, sid, meshes)
+        process_scene(split_dir, sid, meshes, xyz_root=args.xyz_root,
+                      remove_existing=args.remove_existing)
 
 
 if __name__ == '__main__':
