@@ -141,7 +141,8 @@ def _build_inference(blend_field: bool):
     @jax.jit
     def step_fn(key, carry):
         f = frames + carry
-        crops = batched_separable_warp(f, affines, (256, 256), 'bilinear')
+        crops = batched_separable_warp(f, affines, (256, 256), 'bilinear',
+                                       compute_dtype=jnp.bfloat16)
         x = (crops / 255.0 - mean) / std
         out = model.apply(variables, x, train=False)
         out = dict(out)

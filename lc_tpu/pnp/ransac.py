@@ -145,8 +145,10 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
         scores = jnp.where(ar == i[..., None], -jnp.inf, scores)
     idx = jnp.stack(cols, axis=-1)                           # (B, K, s)
 
+    # take_along_axis broadcasts the size-1 hypothesis dim: no (B, K, N, ·)
+    # materialization (the .repeat form wrote 2×59 MB of HBM at B=32, K=150)
     take = lambda arr: jnp.take_along_axis(  # noqa: E731
-        arr[:, None].repeat(num_hypotheses, 1), idx[..., None], axis=2)
+        arr[:, None], idx[..., None], axis=2)
     sub3d = take(pts3d)                                      # (B, K, s, 3)
     sub2d = take(pts2d)[..., :2]                             # (B, K, s, 2)
 
