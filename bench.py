@@ -165,11 +165,11 @@ def _build_inference(blend_field: bool):
 
 
 def bench_inference(blend_field: bool):
-    import jax
     step, fetch, x0 = _build_inference(blend_field)
     dt = _chained_rate(step, fetch, x0)
-    n_chips = max(jax.device_count(), 1)
-    v = BATCH / dt / n_chips
+    # the benched pipeline is unsharded (plain jit on one device), so the
+    # single-device rate IS the per-chip rate regardless of visible chips
+    v = BATCH / dt
     tag = 'pose-consistent field' if blend_field else 'raw untrained CNN output'
     return {
         "metric": f"crops/sec/chip end-to-end steady-state "
@@ -213,8 +213,7 @@ def bench_train():
         float(x[1]['loss_noc'])
 
     dt = _chained_rate(step, fetch, (state, None), warmup=WARMUP)
-    n_chips = max(jax.device_count(), 1)
-    v = BATCH / dt / n_chips
+    v = BATCH / dt  # unsharded single-device step: per-chip rate as-is
     return {
         "metric": "train crops/sec/chip (fwd + LC loss + bwd + Ranger, "
                   "batch 32, 256² in / 64² out, dense_sample=2)",

@@ -173,6 +173,11 @@ class Evaluator:
         from .error6d import mssd_err, mspd_err
         by_obj = defaultdict(list)
         for i, g in enumerate(matched):
+            # unmatched GT keeps the max-float sentinel: a miss counts as a
+            # failure in the AR (same convention as add/adi), and every error
+            # dict carries the keys so per-object score dicts stay homogeneous
+            g['mssd'] = sys.float_info.max
+            g['mspd'] = sys.float_info.max
             if g['R_est'] is not None:
                 by_obj[g['obj_id']].append(i)
         for oid, idxs in by_obj.items():

@@ -183,6 +183,8 @@ def run_test(cfg, model, variables, loader, dataset, evaluator,
 
     apply_fn = _jitted_apply(model)
     results: dict[str, list] = {}
+    total_time = 0.0
+    n_insts = 0
     for batch in loader:
         t_start = time.perf_counter()
         n_valid = len(batch['im_id'])
@@ -215,10 +217,11 @@ def run_test(cfg, model, variables, loader, dataset, evaluator,
         scene_ids = batch['scene_id'].tolist()
         obj_ids = batch['obj_id'].tolist()
         scores = batch.get('det_score', np.ones(len(im_ids), np.float32))
-        states = {k: jax.tree.map(np.asarray, v) for k, v in states.items()}
-        # per-instance wall time (preprocess+CNN+solve incl. device sync) — the
-        # BOP CSV 'time' column; reference hardcodes -1 (test.py:191)
+        from .parallel.mesh import fetch_global
+        states = {k: fetch_global(v) for k, v in states.items()}
         batch_time = time.perf_counter() - t_start
+        total_time += batch_time
+        n_insts += n_valid
         for name, pose7 in states.items():
             R, t = pose7_to_RT(pose7)
             R = np.asarray(R)
@@ -227,8 +230,17 @@ def run_test(cfg, model, variables, loader, dataset, evaluator,
             for i in range(n_valid):
                 lst.append(dict(obj_id=obj_ids[i], im_id=im_ids[i],
                                 scene_id=scene_ids[i], R_est=R[i], t_est=t[i],
-                                score=float(scores[i]),
-                                time=batch_time / max(n_valid, 1)))
+                                score=float(scores[i])))
+
+    # BOP 'time' column: the toolkit requires ONE value per image (all of an
+    # image's estimates must agree, pysixd/inout.py:393-407), and crops of the
+    # same image can land in different batches — so report the uniform mean
+    # wall time per instance (incl. compile amortized over the run). Reference
+    # hardcodes -1 (test.py:191).
+    mean_time = total_time / max(n_insts, 1)
+    for lst in results.values():
+        for r in lst:
+            r['time'] = mean_time
 
     outputs = {}
     bop_scores = bool(cfg.get('eval_bop_scores', False))

@@ -52,14 +52,50 @@ def pad_to_multiple(batch: dict, multiple: int):
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = 'data'):
-    """Place a host batch with the leading axis sharded over the mesh."""
+    """Place a host batch with the leading axis sharded over the mesh.
+
+    Multi-process: every process holds the same global batch (the loaders are
+    seed-deterministic), carves out its own contiguous slice, and contributes
+    it via make_array_from_process_local_data — device_put cannot address
+    other hosts' devices."""
     sharding = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() > 1:
+        pc, pi = jax.process_count(), jax.process_index()
+
+        def put(x):
+            x = np.asarray(x)
+            per = len(x) // pc
+            local = x[pi * per:(pi + 1) * per]
+            return jax.make_array_from_process_local_data(sharding, local)
+        return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(mesh: Mesh, tree):
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sharding,
+                                                lambda idx: x[idx])
+        return jax.tree.map(put, tree)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def fetch_global(tree):
+    """Materialize possibly cross-host-sharded arrays as host numpy on every
+    process (all-gather over the global mesh when multi-process)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return jax.tree.map(
+            lambda x: np.asarray(
+                multihost_utils.process_allgather(x, tiled=True)), tree)
+    return jax.tree.map(np.asarray, tree)
+
+
+def is_primary() -> bool:
+    """True on the process that owns file writes (checkpoints, TB, CSVs)."""
+    return jax.process_index() == 0
 
 
 def batch_pspec(axis_name: str = 'data') -> P:

@@ -89,11 +89,14 @@ def main(argv=None):
         table += '\n' + name + '\n' + res['tables'][0] + '\n'
     logger.info(table)
 
-    for name, text in csv_from_results(results).items():
-        csv_name = '_'.join([f'{cfg_name}-{name}', cfg.train_dataset.name,
-                             'test', ','.join(map(str, cfg.obj_ids)) + '.csv'])
-        with open(osp.join(args.output, csv_name), 'w') as f:
-            f.write(text)
+    from .parallel.mesh import is_primary
+    if is_primary():
+        for name, text in csv_from_results(results).items():
+            csv_name = '_'.join([f'{cfg_name}-{name}',
+                                 cfg.train_dataset.name, 'test',
+                                 ','.join(map(str, cfg.obj_ids)) + '.csv'])
+            with open(osp.join(args.output, csv_name), 'w') as f:
+                f.write(text)
     return results
 
 

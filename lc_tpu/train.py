@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from . import harness
 from .data.pipeline import device_preprocess
 from .optim.factory import build_optimizer
-from .parallel.mesh import auto_mesh, maybe_init_distributed, replicate, \
-    shard_batch
+from .parallel.mesh import auto_mesh, is_primary, maybe_init_distributed, \
+    replicate, shard_batch
 from .parallel.train_step import create_train_state, make_train_step
 from .utils.checkpoint import Checkpoint
 from .utils.config import load_config
@@ -93,7 +93,9 @@ def train(args, cfg, outdir: str, mesh='auto', record_metrics=None):
         logger.info('data-parallel over %d devices (%s), %d crops/device',
                     n_dev, mesh.devices.flat[0].platform, batch_size // n_dev)
 
-    writer = tensorboardX.SummaryWriter(outdir)
+    # multi-process: only process 0 writes files (TB, checkpoints, exports)
+    primary = is_primary()
+    writer = tensorboardX.SummaryWriter(outdir) if primary else None
     ckpter = Checkpoint.by_step(
         osp.join(outdir, 'ckpts'),
         resume_period=cfg.train.get('ckpt_every',
@@ -162,8 +164,9 @@ def train(args, cfg, outdir: str, mesh='auto', record_metrics=None):
             t0 = time.time()
             logger.info('step %d/%d  %s  (%.1f crops/s)', step, num_steps,
                         ' '.join(f'{k}={v:.4f}' for k, v in m.items()), rate)
-            for k, v in m.items():
-                writer.add_scalar(f'loss/{k}', v, step)
+            if primary:
+                for k, v in m.items():
+                    writer.add_scalar(f'loss/{k}', v, step)
 
         score = -1.0
         if test_every_steps and step % test_every_steps == 0 \
@@ -172,9 +175,13 @@ def train(args, cfg, outdir: str, mesh='auto', record_metrics=None):
                                    comps['test_loader'], comps['test_set'],
                                    comps['evaluator'], mesh=mesh)
             score = next(iter(res.values()))['avg_score']
-            writer.add_scalar('eval/score', score, step)
-        ckpter.step(state, step=step, score=score)
+            if primary:
+                writer.add_scalar('eval/score', score, step)
+        if primary:
+            ckpter.step(state, step=step, score=score)
 
+    if not primary:
+        return state
     ckpter.save(state, step=step, score=-1.0)
     # final exports are plain {'params','batch_stats'} variables — lc_tpu.test
     # loads them without reconstructing the optimizer (reference exports the

@@ -56,14 +56,17 @@ def process_scene(split_dir: str, scene_id: int, meshes: dict,
         im_id = int(im_key)
         K = np.asarray(scene_cam[im_key]['cam_K'], np.float64).reshape(3, 3)
         for inst_idx, inst in enumerate(insts):
+            obj_id = inst['obj_id']
+            if obj_id not in meshes:
+                # out-of-dataset object: leave any existing pickle alone —
+                # deleting before this check would permanently drop z_crops
+                # of objects filtered out by --dataset
+                continue
             out_path = osp.join(out_dir, f'{im_id:06d}_{inst_idx:06d}.pkl.gz')
             if osp.exists(out_path):
                 if not remove_existing:
                     continue
                 os.remove(out_path)
-            obj_id = inst['obj_id']
-            if obj_id not in meshes:
-                continue
             verts, faces = meshes[obj_id]
             R = np.asarray(inst['cam_R_m2c'], np.float64).reshape(3, 3)
             t = np.asarray(inst['cam_t_m2c'], np.float64).reshape(3)
@@ -120,7 +123,16 @@ def main():
 
     split_dir = osp.join(args.data_dir, args.split) if args.split \
         else args.data_dir
-    model_dir = args.model_dir or osp.join(split_dir, '..', 'models')
+    if args.model_dir:
+        model_dir = args.model_dir
+        if not osp.isabs(model_dir):
+            # historical form: a name relative to data_dir (e.g. 'models');
+            # fall back to CWD-relative (reference verbatim form) otherwise
+            cand = osp.join(args.data_dir, model_dir)
+            if osp.isdir(cand):
+                model_dir = cand
+    else:
+        model_dir = osp.join(split_dir, '..', 'models')
     with open(osp.join(model_dir, 'models_info.json')) as f:
         obj_ids = [int(k) for k in json.load(f)]
     if args.dataset:
