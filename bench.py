@@ -316,10 +316,95 @@ def bench_ref():
     }
 
 
+def bench_zebra():
+    """The second model family end-to-end: Zebra-DeepLabV3 (ASPP, OS8) at 256²
+    input / 128² binary-code output, Gray-code decode, quantile_in_mask select,
+    RANSAC + weighted LM — the zlmo/zycbv-shaped inference path. Raw untrained
+    outputs (no pose-consistent blend fits the bit decode)."""
+    import jax
+    import jax.numpy as jnp
+    from lc_tpu.models import build_model
+    from lc_tpu.data.crop import batched_separable_warp
+    from lc_tpu.inference import solve_pnp_dense
+    from lc_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from lc_tpu.geom.affine import crop_affine
+
+    rng = np.random.default_rng(0)
+    bit_cnt = (7, 7, 6)
+    model = build_model('zebra_DeepLabV3', {'concat': True},
+                        total_bit_cnt=sum(bit_cnt))
+    img = jnp.zeros((BATCH, 256, 256, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+
+    frames = jnp.asarray(rng.integers(0, 255, (BATCH, 480, 640, 3)),
+                         jnp.float32)
+    affs = [crop_affine(rng.uniform(200, 440, 2),
+                        float(rng.uniform(120, 260)), 0.0, (256, 256))
+            for _ in range(BATCH)]
+    affines = jnp.asarray(np.stack(affs), jnp.float32)
+    K = jnp.broadcast_to(jnp.asarray(
+        [[572.4, 0, 64.0], [0, 573.6, 64.0], [0, 0, 1.0]]), (BATCH, 3, 3))
+    gt = dict(out_K=K, noc_scale=jnp.full((BATCH, 3), 100.0))
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    @jax.jit
+    def step_fn(key, carry):
+        f = frames + carry
+        crops = batched_separable_warp(f, affines, (256, 256), 'bilinear',
+                                       compute_dtype=jnp.bfloat16)
+        x = (crops / 255.0 - mean) / std
+        out = model.apply(variables, x, train=False)
+        states = solve_pnp_dense(out, gt, key, bit_cnt=bit_cnt, sample=2,
+                                 point_select='quantile_in_mask', quantile=0.2,
+                                 solvers=('weighted',))
+        pose = states['weighted']
+        return jax.random.split(key)[0], 1e-20 * jnp.mean(pose)
+
+    def step(x):
+        return step_fn(*x)
+
+    dt = _chained_rate(step, lambda x: np.asarray(x[1]),
+                       (jax.random.PRNGKey(0), jnp.float32(0)))
+    v = BATCH / dt
+    return {
+        "metric": "zebra crops/sec/chip end-to-end (crop->DeepLabV3 128² "
+                  "bits->Gray decode->PnP, raw untrained output)",
+        "value": round(v, 2),
+        "unit": "crops/s/chip",
+        "vs_baseline": round(v / REF_HOST_RANSAC_CROPS_PER_SEC, 3),
+    }
+
+
+def bench_trace(out_dir: str = '/tmp/lc_tpu_trace'):
+    """Capture an XLA profiler trace of the full inference pipeline (inspect
+    with TensorBoard's profile plugin or Perfetto on the .trace.json.gz)."""
+    import glob
+    import jax
+    step, fetch, x0 = _build_inference(blend_field=True)
+    x = x0
+    for _ in range(6):
+        x = step(x)
+    fetch(x)
+    with jax.profiler.trace(out_dir):
+        for _ in range(4):
+            x = step(x)
+        fetch(x)
+    files = sorted(glob.glob(out_dir + '/plugins/profile/*/*'))
+    return {
+        "metric": f"XLA trace of 4 inference batches -> {out_dir} "
+                  f"({len(files)} files)",
+        "value": len(files),
+        "unit": "files",
+        "vs_baseline": None,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--mode', default='headline',
-                    choices=['headline', 'infer_raw', 'train', 'mfu', 'ref'])
+                    choices=['headline', 'infer_raw', 'train', 'mfu', 'ref',
+                             'trace', 'zebra'])
     mode = ap.parse_args().mode
     if mode == 'headline':
         out = bench_inference(blend_field=True)
@@ -329,6 +414,10 @@ def main():
         out = bench_train()
     elif mode == 'mfu':
         out = bench_mfu()
+    elif mode == 'trace':
+        out = bench_trace()
+    elif mode == 'zebra':
+        out = bench_zebra()
     else:
         out = bench_ref()
     print(json.dumps(out))
