@@ -87,6 +87,27 @@ def _chained_rate(step, fetch, x0, iters=ITERS, trials=TRIALS, warmup=WARMUP,
     return float(np.median(dts))
 
 
+def _bench_scene(out_c: float):
+    """Shared benchmark inputs: full frames, 256² crop affines, out-res camera
+    (principal point out_c = half the dense-output resolution), gt blob."""
+    import jax.numpy as jnp
+    from lc_tpu.geom.affine import crop_affine
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 255, (BATCH, 480, 640, 3)),
+                         jnp.float32)
+    affs = []
+    for _ in range(BATCH):
+        c = rng.uniform(200, 440, 2)
+        affs.append(crop_affine(c, float(rng.uniform(120, 260)), 0.0,
+                                (256, 256)))
+    affines = jnp.asarray(np.stack(affs), jnp.float32)
+    K = jnp.broadcast_to(jnp.asarray(
+        [[572.4, 0, out_c], [0, 573.6, out_c], [0, 0, 1.0]]), (BATCH, 3, 3))
+    gt = dict(out_K=K, noc_scale=jnp.full((BATCH, 3), 100.0))
+    return frames, affines, K, gt
+
+
 def _build_inference(blend_field: bool):
     import jax
     import jax.numpy as jnp
@@ -94,24 +115,12 @@ def _build_inference(blend_field: bool):
     from lc_tpu.data.crop import batched_separable_warp
     from lc_tpu.inference import solve_pnp_dense
     from lc_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
-    from lc_tpu.geom.affine import crop_affine
 
     rng = np.random.default_rng(0)
     model = build_model('cdpn_resnet', {'concat': False})
     img = jnp.zeros((BATCH, 256, 256, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), img, train=False)
-
-    # full-frame inputs + crop affines (the host->device payload)
-    frames = jnp.asarray(rng.integers(0, 255, (BATCH, 480, 640, 3)), jnp.float32)
-    affs = []
-    for _ in range(BATCH):
-        c = rng.uniform(200, 440, 2)
-        affs.append(crop_affine(c, float(rng.uniform(120, 260)), 0.0, (256, 256)))
-    affines = jnp.asarray(np.stack(affs), jnp.float32)
-
-    K = jnp.broadcast_to(jnp.asarray(
-        [[572.4, 0, 32.0], [0, 573.6, 32.0], [0, 0, 1.0]]), (BATCH, 3, 3))
-    gt = dict(out_K=K, noc_scale=jnp.full((BATCH, 3), 100.0))
+    frames, affines, K, gt = _bench_scene(out_c=32.0)
 
     # Pose-consistent dense correspondence field: with untrained weights the LM
     # refiner burns its full 50-iteration budget on garbage, overstating solver
@@ -327,24 +336,13 @@ def bench_zebra():
     from lc_tpu.data.crop import batched_separable_warp
     from lc_tpu.inference import solve_pnp_dense
     from lc_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
-    from lc_tpu.geom.affine import crop_affine
 
-    rng = np.random.default_rng(0)
     bit_cnt = (7, 7, 6)
     model = build_model('zebra_DeepLabV3', {'concat': True},
                         total_bit_cnt=sum(bit_cnt))
     img = jnp.zeros((BATCH, 256, 256, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), img, train=False)
-
-    frames = jnp.asarray(rng.integers(0, 255, (BATCH, 480, 640, 3)),
-                         jnp.float32)
-    affs = [crop_affine(rng.uniform(200, 440, 2),
-                        float(rng.uniform(120, 260)), 0.0, (256, 256))
-            for _ in range(BATCH)]
-    affines = jnp.asarray(np.stack(affs), jnp.float32)
-    K = jnp.broadcast_to(jnp.asarray(
-        [[572.4, 0, 64.0], [0, 573.6, 64.0], [0, 0, 1.0]]), (BATCH, 3, 3))
-    gt = dict(out_K=K, noc_scale=jnp.full((BATCH, 3), 100.0))
+    frames, affines, K, gt = _bench_scene(out_c=64.0)
     mean = jnp.asarray(IMAGENET_MEAN)
     std = jnp.asarray(IMAGENET_STD)
 

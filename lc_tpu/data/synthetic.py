@@ -204,3 +204,38 @@ def generate_dataset(root: str, *, n_images: int = 24, obj_id: int = 1,
     with open(list_path, 'w') as f:
         f.write('\n'.join(frames) + '\n')
     return list_path
+
+
+def default_train_cfg(root: str, **overrides):
+    """Canonical config for training on a generated synthetic dataset (the
+    glmo-shaped dense CDPN experiment at toy sizes). Shared by the integration
+    tests, the convergence tests, and the driver's multi-chip dry run — keep
+    the knobs in one place. `overrides` merge with DictAction dotted-key
+    semantics (utils.config.Config.merge_from_dict)."""
+    from ..utils.config import Config
+    cfg = Config(dict(
+        exp_name='syn', obj_ids=[1], cache_dir='', sym_aware=False,
+        net_input_wh=[64, 64], net_output_wh=[16, 16],
+        dataloader=dict(batch_size=4, num_workers=2),
+        train=dict(num_steps=3, test_every=0, ckpt_every=100),
+        optimizer=dict(type='adam', lr=2e-4, wd=0.0),
+        scheduler=dict(name='none'),
+        pnp_solver=dict(dense_point_select='quantile', quantile=0.3,
+                        solvers=['weighted']),
+        train_dataset=dict(
+            name='synthetic', dataset_root=root,
+            list_files=[osp.join(root, 'train_syn_list.txt')],
+            visib_frac=0.1, pixel_aug_prob=0.8, rotate_prob=0.5,
+            switch_bg_prob=0.0, dzi_scale_ratio=0.25, dzi_shift_ratio=0.25,
+            dzi_pad_scale=1.5),
+        test_dataset=dict(
+            name='synthetic', dataset_root=root,
+            list_files=[osp.join(root, 'test_list.txt')],
+            visib_frac=0.0, dzi_pad_scale=1.5),
+        model=dict(net_name='cdpn_resnet', net_config=dict(concat=False)),
+        loss=dict(pose_loss_cfg=dict(clip_weight_grad=True),
+                  pose_loss_start_step=1, pose_loss_start_epoch=0,
+                  w_loss_pose=0.02, w_loss_seg=0.25, w_loss_noc=1.0),
+    ))
+    cfg.merge_from_dict(overrides)
+    return cfg

@@ -177,8 +177,9 @@ def run_test(cfg, model, variables, loader, dataset, evaluator,
     sparse = cfg.get('sparse_cnt', 0) > 3
     key = jax.random.PRNGKey(seed)
 
+    from .parallel.mesh import fetch_global, pad_to_multiple, replicate, \
+        shard_batch
     if mesh is not None:
-        from .parallel.mesh import pad_to_multiple, replicate, shard_batch
         variables = replicate(mesh, variables)
 
     apply_fn = _jitted_apply(model)
@@ -217,7 +218,6 @@ def run_test(cfg, model, variables, loader, dataset, evaluator,
         scene_ids = batch['scene_id'].tolist()
         obj_ids = batch['obj_id'].tolist()
         scores = batch.get('det_score', np.ones(len(im_ids), np.float32))
-        from .parallel.mesh import fetch_global
         states = {k: fetch_global(v) for k, v in states.items()}
         batch_time = time.perf_counter() - t_start
         total_time += batch_time

@@ -13,6 +13,7 @@ import os.path as osp
 import jax
 
 from . import harness
+from .parallel.mesh import auto_mesh, is_primary, maybe_init_distributed
 from .utils.checkpoint import load_state
 from .utils.config import load_config
 from .utils.logging import setup_logger
@@ -22,7 +23,6 @@ logger = logging.getLogger(__name__)
 
 
 def main(argv=None):
-    from .parallel.mesh import maybe_init_distributed
     maybe_init_distributed()  # must precede any backend initialization
     parser = argparse.ArgumentParser()
     parser.add_argument('--weight', type=str, required=True)
@@ -79,7 +79,6 @@ def main(argv=None):
         cv2.setRNGSeed(0)
         np.random.seed(0)
 
-    from .parallel.mesh import auto_mesh
     results = harness.run_test(cfg, model, variables, test_loader, test_set,
                                evaluator, seed=0 if args.deterministic else 1,
                                mesh=auto_mesh())
@@ -89,7 +88,6 @@ def main(argv=None):
         table += '\n' + name + '\n' + res['tables'][0] + '\n'
     logger.info(table)
 
-    from .parallel.mesh import is_primary
     if is_primary():
         for name, text in csv_from_results(results).items():
             csv_name = '_'.join([f'{cfg_name}-{name}',

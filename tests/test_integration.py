@@ -14,7 +14,6 @@ import pytest
 from lc_tpu import harness
 from lc_tpu.data import synthetic
 from lc_tpu.data.pipeline import device_preprocess
-from lc_tpu.utils.config import Config
 from lc_tpu.utils.checkpoint import Checkpoint
 
 
@@ -28,32 +27,8 @@ def syn_root(tmp_path_factory):
 
 
 def make_cfg(root, **overrides):
-    cfg = Config(dict(
-        exp_name='syn', obj_ids=[1], cache_dir='', sym_aware=False,
-        net_input_wh=[64, 64], net_output_wh=[16, 16],
-        dataloader=dict(batch_size=4, num_workers=2),
-        train=dict(num_steps=3, test_every=0, ckpt_every=100),
-        optimizer=dict(type='adam', lr=2e-4, wd=0.0),
-        scheduler=dict(name='none'),
-        pnp_solver=dict(dense_point_select='quantile', quantile=0.3,
-                        solvers=['weighted']),
-        train_dataset=dict(
-            name='synthetic', dataset_root=root,
-            list_files=[osp.join(root, 'train_syn_list.txt')],
-            visib_frac=0.1, pixel_aug_prob=0.8, rotate_prob=0.5,
-            switch_bg_prob=0.0, dzi_scale_ratio=0.25, dzi_shift_ratio=0.25,
-            dzi_pad_scale=1.5),
-        test_dataset=dict(
-            name='synthetic', dataset_root=root,
-            list_files=[osp.join(root, 'test_list.txt')],
-            visib_frac=0.0, dzi_pad_scale=1.5),
-        model=dict(net_name='cdpn_resnet', net_config=dict(concat=False)),
-        loss=dict(pose_loss_cfg=dict(clip_weight_grad=True),
-                  pose_loss_start_step=1, pose_loss_start_epoch=0,
-                  w_loss_pose=0.02, w_loss_seg=0.25, w_loss_noc=1.0),
-    ))
-    cfg.merge_from_dict(overrides)
-    return cfg
+    # canonical synthetic experiment config lives with the dataset generator
+    return synthetic.default_train_cfg(root, **overrides)
 
 
 class TestEndToEnd:

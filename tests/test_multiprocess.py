@@ -11,9 +11,8 @@ import socket
 import subprocess
 import sys
 
-import numpy as np
-
-WORKER = r'''
+# shared prologue: force 4 virtual CPU devices, join the 2-process cluster
+PRELUDE = r'''
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -25,7 +24,9 @@ jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=2, process_id=pid)
 assert jax.process_count() == 2
 assert jax.device_count() == 8 and len(jax.local_devices()) == 4
+'''
 
+WORKER = PRELUDE + r'''
 import numpy as np
 import jax.numpy as jnp
 from lc_tpu.parallel.mesh import (make_mesh, shard_batch, replicate,
@@ -60,17 +61,7 @@ print(f"proc{pid} ok loss={float(loss):.4f}", flush=True)
 '''
 
 
-TRAIN_WORKER = r'''
-import os, sys
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=4")
-import jax
-jax.config.update("jax_platforms", "cpu")
-pid = int(sys.argv[1]); port = sys.argv[2]
-jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=2, process_id=pid)
-
+TRAIN_WORKER = PRELUDE + r'''
 import numpy as np
 import jax.numpy as jnp
 from __graft_entry__ import _synthetic_gt_blob
@@ -81,6 +72,12 @@ from lc_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from lc_tpu.parallel.train_step import create_train_state, make_train_step
 
 mesh = make_mesh(8)
+# establish the cross-process gloo collective context NOW, while both
+# processes are in lockstep — the big train-step compile below can skew them
+# past gloo's 30s rendezvous timeout otherwise
+warm = shard_batch(mesh, {'x': np.ones((8, 1), np.float32)})['x']
+assert float(jnp.sum(warm)) == 8.0
+
 model = build_model('cdpn_resnet', {'concat': False})
 loss_cfg = LossConfig(w_loss_noc=1.0, w_loss_seg=0.25, w_loss_pose=0.02,
                       full_pose_loss_step=1)
@@ -106,34 +103,11 @@ def _free_port():
     return port
 
 
-def test_two_process_mesh(tmp_path):
+def _spawn_two(script_text, tmp_path, marker, timeout=560):
+    """Run the worker script as two joined processes; returns their outputs
+    after asserting success, the marker line, and identical reported losses."""
     script = tmp_path / 'worker.py'
-    script.write_text(WORKER)
-    port = _free_port()
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = {k: v for k, v in os.environ.items()
-           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
-    env['PYTHONPATH'] = repo_root + os.pathsep + env.get('PYTHONPATH', '')
-    procs = [subprocess.Popen(
-        [sys.executable, str(script), str(i), str(port)],
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
-        for i in range(2)]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f'proc{i} failed:\n{out}'
-        assert f'proc{i} ok' in out, out
-    # identical loss on both processes (replicated computation)
-    l0 = outs[0].split('loss=')[1].split()[0]
-    l1 = outs[1].split('loss=')[1].split()[0]
-    assert l0 == l1
-
-
-def test_two_process_full_train_step(tmp_path):
-    """The real training step (model fwd/bwd, LC loss, Ranger) over a 2-process
-    8-device mesh: gradient all-reduce and BN stats cross process boundaries."""
-    script = tmp_path / 'train_worker.py'
-    script.write_text(TRAIN_WORKER)
+    script.write_text(script_text)
     port = _free_port()
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items()
@@ -143,10 +117,20 @@ def test_two_process_full_train_step(tmp_path):
         [sys.executable, str(script), str(i), str(port)], cwd=repo_root,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for i in range(2)]
-    outs = [p.communicate(timeout=560)[0] for p in procs]
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'proc{i} failed:\n{out[-4000:]}'
-        assert f'proc{i} trainstep ok' in out, out[-2000:]
-    l0 = outs[0].split('loss=')[1].split()[0]
-    l1 = outs[1].split('loss=')[1].split()[0]
-    assert l0 == l1
+        assert f'proc{i} {marker}' in out, out[-2000:]
+    losses = [out.split('loss=')[1].split()[0] for out in outs]
+    assert losses[0] == losses[1]  # replicated computation agrees exactly
+    return outs
+
+
+def test_two_process_mesh(tmp_path):
+    _spawn_two(WORKER, tmp_path, 'ok', timeout=300)
+
+
+def test_two_process_full_train_step(tmp_path):
+    """The real training step (model fwd/bwd, LC loss, Ranger) over a 2-process
+    8-device mesh: gradient all-reduce and BN stats cross process boundaries."""
+    _spawn_two(TRAIN_WORKER, tmp_path, 'trainstep ok')
