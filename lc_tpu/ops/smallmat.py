@@ -116,3 +116,84 @@ def chol_factor_small(A: jax.Array) -> tuple[jax.Array, jax.Array]:
     rows = [jnp.stack([L[i][j] if j <= i else zero for j in range(n)], axis=-1)
             for i in range(n)]
     return jnp.stack(rows, axis=-2), ok
+
+
+def jacobi_eigh_small(A: jax.Array, sweeps: int = 8
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Symmetric eigendecomposition of tiny matrices by fully unrolled cyclic
+    Jacobi. A (..., n, n) -> (eigvals (..., n) ascending, eigvecs (..., n, n)
+    columns). `jnp.linalg.eigh` lowers to a loop-based batched kernel whose
+    TPU compile alone takes minutes on some backends; for n ≤ ~6 the unrolled
+    rotations are pure elementwise work."""
+    n = A.shape[-1]
+    V = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    for _ in range(sweeps):
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                app = A[..., p, p]
+                aqq = A[..., q, q]
+                apq = A[..., p, q]
+                theta = 0.5 * jnp.arctan2(2.0 * apq, app - aqq)
+                c = jnp.cos(theta)[..., None]
+                s = jnp.sin(theta)[..., None]
+                # A <- Jᵀ A J with J the (p, q) plane rotation
+                Ap = A[..., p, :]
+                Aq = A[..., q, :]
+                A = A.at[..., p, :].set(c * Ap + s * Aq)
+                A = A.at[..., q, :].set(-s * Ap + c * Aq)
+                Ap = A[..., :, p]
+                Aq = A[..., :, q]
+                A = A.at[..., :, p].set(c * Ap + s * Aq)
+                A = A.at[..., :, q].set(-s * Ap + c * Aq)
+                Vp = V[..., :, p]
+                Vq = V[..., :, q]
+                V = V.at[..., :, p].set(c * Vp + s * Vq)
+                V = V.at[..., :, q].set(-s * Vp + c * Vq)
+    vals = jnp.diagonal(A, axis1=-2, axis2=-1)
+    order = jnp.argsort(vals, axis=-1)
+    vals = jnp.take_along_axis(vals, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return vals, V
+
+
+def _orthonormalize_cols(X: jax.Array) -> jax.Array:
+    """Modified Gram-Schmidt over the (small, static) last axis."""
+    k = X.shape[-1]
+    out = []
+    for i in range(k):
+        v = X[..., i]
+        for u in out:
+            v = v - jnp.sum(u * v, axis=-1, keepdims=True) * u
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True),
+                                    1e-30))
+        out.append(v / norm)
+    return jnp.stack(out, axis=-1)
+
+
+def smallest_eigvecs(A: jax.Array, k: int, iters: int = 3
+                     ) -> tuple[jax.Array, jax.Array]:
+    """The k smallest eigenpairs of symmetric PSD A (..., n, n) without
+    `jnp.linalg.eigh`: shifted inverse subspace iteration (unrolled Cholesky
+    solves) + a Rayleigh-Ritz step with the unrolled Jacobi eigh on the k×k
+    projection. Returns (eigvecs (..., n, k) ascending, eigvals (..., k)).
+
+    Accuracy is set by the λ_k/λ_{k+1} gap (contamination ~(λ_k/λ_{k+1})^iters
+    before Rayleigh-Ritz); for EPnP's 12×12 MᵀM the 4-dim near-null space is
+    separated from the data-scale spectrum by orders of magnitude."""
+    n = A.shape[-1]
+    tr = jnp.sum(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)
+    shift = (1e-6 * tr / n + 1e-25)[..., None, None]
+    eye = jnp.eye(n, dtype=A.dtype)
+    Ash = A + shift * eye
+    # deterministic dense init (identity columns can be accidentally orthogonal
+    # to the target subspace; a fixed random basis almost surely is not)
+    import numpy as _np
+    X0 = _np.linalg.qr(_np.random.default_rng(7).normal(size=(n, k)))[0]
+    X = jnp.broadcast_to(jnp.asarray(X0, A.dtype), A.shape[:-2] + (n, k))
+    for _ in range(iters):
+        X, _ = chol_solve_small_mat(Ash, X)
+        X = _orthonormalize_cols(X)
+    T = mm_small(jnp.swapaxes(X, -1, -2), mm_small(A, X))      # (..., k, k)
+    T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
+    vals, Q = jacobi_eigh_small(T)
+    return mm_small(X, Q), vals

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from ..geom.rotations import matrix_to_quaternion
-from ..ops.smallmat import rot_pts
+from ..ops.smallmat import (chol_solve_small, jacobi_eigh_small, rot_pts,
+                            smallest_eigvecs)
 
 
 def _control_points(pts3d: jax.Array, w: jax.Array) -> jax.Array:
@@ -26,7 +27,7 @@ def _control_points(pts3d: jax.Array, w: jax.Array) -> jax.Array:
     c0 = jnp.sum(pts3d * w[..., None], axis=-2) / wsum          # (..., 3)
     centered = (pts3d - c0[..., None, :]) * jnp.sqrt(w)[..., None]
     cov = jnp.einsum('...ni,...nj->...ij', centered, centered) / wsum[..., None]
-    eigval, eigvec = jnp.linalg.eigh(cov)                       # ascending
+    eigval, eigvec = jacobi_eigh_small(cov)                     # ascending
     scale = jnp.sqrt(jnp.maximum(eigval, 1e-9))                 # (..., 3)
     axes = jnp.swapaxes(eigvec, -1, -2) * scale[..., None]      # rows = axes
     return jnp.concatenate((c0[..., None, :],
@@ -81,8 +82,12 @@ def epnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     Mw = M * wr[..., None]
     MtM = jnp.sum(Mw[..., :, None] * M[..., None, :], axis=-3)  # (..., 12, 12)
 
-    eigval, eigvec = jnp.linalg.eigh(MtM)
-    V = eigvec[..., :4]                                         # 4 smallest (..., 12, 4)
+    # 4 smallest eigenvectors of the 12×12 normal matrix. jnp.linalg.eigh's
+    # loop-based kernel is the single most expensive op of the whole solve on
+    # TPU (and its remote compile can take minutes); the unrolled inverse
+    # subspace iteration recovers the near-null space to ~1e-7 subspace angle
+    # (the gap to the data-scale spectrum is orders of magnitude).
+    V, _ = smallest_eigvecs(MtM, 4)                             # (..., 12, 4)
     # camera control candidates per basis vector k: (..., 4(k), 4(pt), 3)
     Vc = jnp.stack([V[..., k].reshape(V.shape[:-2] + (3, 4)).swapaxes(-1, -2)
                     for k in range(4)], axis=-3)
@@ -106,7 +111,7 @@ def epnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
         JtJ = jnp.sum(J[..., :, None] * J[..., None, :], axis=-3)
         JtJ = JtJ + 1e-9 * jnp.eye(4, dtype=J.dtype)
         Jtr = jnp.sum(J * r[..., None], axis=-2)
-        db = jnp.linalg.solve(JtJ, Jtr[..., None])[..., 0]
+        db, _ = chol_solve_small(JtJ, Jtr)
         return b - jnp.nan_to_num(db), None
     betas, _ = jax.lax.scan(gn_step, betas, None, length=gn_iters)
 

@@ -258,3 +258,37 @@ class TestEPnP:
                       jnp.asarray(w))
         assert np.all(np.asarray(ok))
         np.testing.assert_allclose(np.asarray(p7[:, 4:]), pose[:, 4:], atol=1.5)
+
+
+class TestSmallEigh:
+    """The unrolled Jacobi eigh + inverse subspace iteration that replace
+    jnp.linalg.eigh inside EPnP (its loop-based TPU kernel dominated the whole
+    solve and its remote compile took minutes)."""
+
+    def test_jacobi_matches_numpy(self):
+        from lc_tpu.ops.smallmat import jacobi_eigh_small
+        rng = np.random.default_rng(3)
+        for n in (3, 4, 6):
+            A = rng.normal(size=(7, n, n))
+            A = A + A.transpose(0, 2, 1)
+            v_np, V_np = np.linalg.eigh(A)
+            v_j, V_j = jax.jit(jacobi_eigh_small)(jnp.asarray(A))
+            np.testing.assert_allclose(np.asarray(v_j), v_np, atol=1e-5)
+            # eigenvectors match up to sign
+            dots = np.abs(np.einsum('bij,bij->bj', np.asarray(V_j), V_np))
+            assert dots.min() > 1 - 1e-5
+
+    def test_smallest_eigvecs_subspace(self):
+        from lc_tpu.ops.smallmat import smallest_eigvecs
+        rng = np.random.default_rng(4)
+        B, n = 6, 12
+        Q = np.linalg.qr(rng.normal(size=(B, n, n)))[0]
+        lam = np.concatenate([rng.uniform(1e-6, 1e-3, (B, 4)),
+                              rng.uniform(1.0, 10.0, (B, 8))], -1)
+        A = np.einsum('bij,bj,bkj->bik', Q, lam, Q)
+        V, w = jax.jit(lambda a: smallest_eigvecs(a, 4))(jnp.asarray(A))
+        order = np.argsort(lam, -1)[:, :4]
+        Vt = np.stack([Q[b][:, order[b]] for b in range(B)])
+        sv = np.linalg.svd(np.einsum('bij,bik->bjk', Vt, np.asarray(V)),
+                           compute_uv=False)
+        assert sv.min() > 1 - 1e-5  # principal angles ~0: same subspace
