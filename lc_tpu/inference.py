@@ -42,6 +42,52 @@ def quantile_mask(den_inv_std2d: jax.Array, quantile) -> jax.Array:
     return w >= thresh
 
 
+def _order_stat_bisect(w: jax.Array, k: jax.Array, iters: int = 32
+                       ) -> jax.Array:
+    """Exact k-th smallest (0-indexed) of w (B, N) per row, without sorting.
+
+    Bisect a threshold over [min, max] by counting `w <= t` (elementwise
+    compare+reduce — TPU's jnp.sort over (B, 1024) is the expensive op this
+    avoids), then read the exact order statistic as the masked max. 32
+    halvings of the value range reach f32 resolution."""
+    lo = jnp.min(w, axis=-1)
+    hi = jnp.max(w, axis=-1)
+    kk = k.astype(jnp.int32)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(w <= mid[..., None], axis=-1)
+        go_up = cnt <= kk          # too few at or below mid: raise the floor
+        return jnp.where(go_up, mid, lo), jnp.where(go_up, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    # exact element: the largest value still within the bracket's upper bound
+    # (count(w <= hi) >= k+1 is invariant, so this is the k-th order statistic)
+    inside = w <= hi[..., None]
+    return jnp.max(jnp.where(inside, w, -jnp.inf), axis=-1)
+
+
+def quantile_mask_bisect(den_inv_std2d: jax.Array, quantile) -> jax.Array:
+    """quantile_mask with the sort replaced by exact order-statistic bisection
+    (same numpy/torch 'linear' interpolation semantics). Candidate replacement
+    for the TPU hot path — not yet wired into solve_pnp_dense pending an
+    isolated perf measurement (see BASELINE.md)."""
+    w = jnp.sum(den_inv_std2d, axis=-1)                       # (B, N)
+    n = w.shape[-1]
+    q = jnp.asarray(quantile, w.dtype)
+    if q.ndim == 0:
+        q = jnp.broadcast_to(q, w.shape[:1])
+    pos = q * (n - 1)
+    lo_r = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 1)
+    hi_r = jnp.clip(lo_r + 1, 0, n - 1)
+    frac = pos - lo_r.astype(w.dtype)
+    v_lo = _order_stat_bisect(w, lo_r)
+    v_hi = _order_stat_bisect(w, hi_r)
+    thresh = v_lo * (1 - frac) + v_hi * frac
+    return w >= thresh[..., None]
+
+
 def dense_grid_outputs(out: dict, gt: dict, *, bit_cnt, black_background: bool,
                        sample: int = 2):
     """Decode the dense head into flat correspondences (stride `sample`, top-left

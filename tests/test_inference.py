@@ -116,3 +116,38 @@ class TestSolveSparse:
         pose = np.asarray(geom.RT_to_pose7(jnp.asarray(Rs), jnp.asarray(ts)))
         p = np.asarray(states['weighted'])
         np.testing.assert_allclose(p[:, 4:], pose[:, 4:], atol=2.0)
+
+
+class TestQuantileBisect:
+    """quantile_mask_bisect must match quantile_mask (and numpy 'linear'
+    quantile) exactly — it is the sort-free candidate for the TPU hot path."""
+
+    def test_matches_sort_version(self):
+        from lc_tpu.inference import quantile_mask, quantile_mask_bisect
+        rng = np.random.default_rng(9)
+        for q in (0.0, 0.3, 0.5, 0.73, 1.0):
+            w2 = jnp.asarray(rng.uniform(0, 5, (6, 257, 2)), jnp.float32)
+            a = np.asarray(quantile_mask(w2, q))
+            b = np.asarray(quantile_mask_bisect(w2, q))
+            np.testing.assert_array_equal(a, b)
+
+    def test_matches_numpy_threshold(self):
+        from lc_tpu.inference import quantile_mask_bisect
+        rng = np.random.default_rng(10)
+        w2 = jnp.asarray(rng.normal(size=(4, 128, 2)), jnp.float32)
+        q = 0.3
+        m = np.asarray(quantile_mask_bisect(w2, q))
+        w = np.asarray(w2).sum(-1)
+        thr = np.quantile(w.astype(np.float64), q, axis=-1,
+                          method='linear').astype(np.float32)
+        np.testing.assert_array_equal(m, w >= thr[:, None])
+
+    def test_per_sample_quantiles_and_ties(self):
+        from lc_tpu.inference import quantile_mask, quantile_mask_bisect
+        rng = np.random.default_rng(11)
+        # heavy ties: integer-valued weights
+        w2 = jnp.asarray(rng.integers(0, 4, (5, 64, 2)).astype(np.float32))
+        q = jnp.asarray(rng.uniform(0.1, 0.9, (5,)), jnp.float32)
+        a = np.asarray(quantile_mask(w2, q))
+        b = np.asarray(quantile_mask_bisect(w2, q))
+        np.testing.assert_array_equal(a, b)
