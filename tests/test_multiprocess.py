@@ -134,3 +134,61 @@ def test_two_process_full_train_step(tmp_path):
     """The real training step (model fwd/bwd, LC loss, Ranger) over a 2-process
     8-device mesh: gradient all-reduce and BN stats cross process boundaries."""
     _spawn_two(TRAIN_WORKER, tmp_path, 'trainstep ok')
+
+
+CLI_WORKER = PRELUDE + r'''
+import argparse, tempfile, os.path as osp
+import numpy as np
+import jax.numpy as jnp
+from lc_tpu import harness
+from lc_tpu.data import synthetic
+from lc_tpu import train as train_mod
+from lc_tpu.parallel.mesh import make_mesh, is_primary
+from lc_tpu.train import build_training, eval_variables
+
+# both processes generate the identical dataset (seeded) in their own tmp dir
+root = osp.join(tempfile.mkdtemp(), 'data')
+synthetic.generate_dataset(root, n_images=16, split='train_syn', seed=0)
+synthetic.generate_dataset(root, n_images=6, split='test_syn', seed=5,
+                           list_name='test_list.txt')
+cfg = synthetic.default_train_cfg(root)
+cfg.dataloader.batch_size = 8
+outdir = tempfile.mkdtemp()
+
+mesh = make_mesh(8)
+# gloo context while in lockstep (see TRAIN_WORKER)
+from lc_tpu.parallel.mesh import shard_batch
+warm = shard_batch(mesh, {'x': np.ones((8, 1), np.float32)})['x']
+assert float(jnp.sum(warm)) == 8.0
+
+args = argparse.Namespace(resume=False, ckpt=None)
+metrics = []
+state = train_mod.train(args, cfg, outdir, mesh=mesh, record_metrics=metrics)
+losses = [float(m['loss_noc']) for m in metrics]
+assert len(losses) == 3 and all(np.isfinite(losses))
+
+# only process 0 wrote files
+wrote = osp.exists(osp.join(outdir, 'model_final.ckpt'))
+assert wrote == is_primary(), (wrote, is_primary())
+
+comps = build_training(cfg, seed=0)
+res = harness.run_test(cfg, comps['model'], eval_variables(state),
+                       comps['test_loader'], comps['test_set'],
+                       comps['evaluator'], mesh=mesh)
+score = res['weighted']['avg_score']
+adds = [round(e['add'], 3) for e in res['weighted']['errors']]
+print(f"proc{pid} cli ok loss={losses[-1]:.6f} score={score:.4f} "
+      f"adds={adds}", flush=True)
+'''
+
+
+def test_two_process_train_cli_and_eval(tmp_path):
+    """The PRODUCTION train() loop and run_test() across two real processes:
+    sharded prefetch, cross-host grad all-reduce, primary-only file writes,
+    padded+sharded eval batches with cross-host all-gather of the solved poses.
+    Both processes must report identical losses, scores, and per-instance ADD."""
+    outs = _spawn_two(CLI_WORKER, tmp_path, 'cli ok')
+    for key in ('score=', 'adds='):
+        v0 = outs[0].split(key)[1].splitlines()[0]
+        v1 = outs[1].split(key)[1].splitlines()[0]
+        assert v0 == v1, (key, v0, v1)
