@@ -1,0 +1,66 @@
+"""The actual CLI entry points (lc_tpu.train.main / lc_tpu.test.main): argument
+parsing, YAML config loading with --opts overrides, output-directory layout,
+checkpoint export, weight loading in lc_tpu.test (the plain-variables export
+path), score table + BOP CSV writing."""
+import os
+import os.path as osp
+
+import pytest
+import yaml
+
+from lc_tpu.data import synthetic
+
+
+@pytest.fixture(scope='module')
+def cli_env(tmp_path_factory):
+    base = tmp_path_factory.mktemp('cli')
+    root = str(base / 'data')
+    synthetic.generate_dataset(root, n_images=8, split='train_syn', seed=0)
+    synthetic.generate_dataset(root, n_images=4, split='test_syn', seed=5,
+                               list_name='test_list.txt')
+    # batch must divide the conftest's 8-device mesh — the CLI auto-builds the
+    # data-parallel mesh, so this also drives the sharded path end-to-end
+    cfg = synthetic.default_train_cfg(
+        root, **{'dataloader.batch_size': 8}).to_dict()
+    cfg_path = str(base / 'cfg.yaml')
+    with open(cfg_path, 'w') as f:
+        yaml.safe_dump(cfg, f)
+    return dict(base=str(base), cfg=cfg_path)
+
+
+def test_train_then_test_cli(cli_env):
+    from lc_tpu import train as train_mod
+    from lc_tpu import test as test_mod
+
+    out = osp.join(cli_env['base'], 'out')
+    train_mod.main(['--config', cli_env['cfg'], '--output', out,
+                    '--obj', '1', '--opts', 'train.num_steps=2'])
+    expdir = osp.join(out, 'syn-1')
+    assert osp.exists(osp.join(expdir, 'model_final.ckpt'))
+    # resume checkpoints are cleaned on normal exit (reference finish())
+    assert not any(f.endswith('.ckpt')
+                   for f in os.listdir(osp.join(expdir, 'ckpts')))
+
+    tdir = osp.join(cli_env['base'], 'testout')
+    results = test_mod.main(['--weight', osp.join(expdir, 'model_final.ckpt'),
+                             '--config', cli_env['cfg'], '--output', tdir,
+                             '--obj', '1'])
+    assert 'weighted' in results
+    assert 'avg_score' in results['weighted']
+    csvs = [f for f in os.listdir(tdir) if f.endswith('.csv')]
+    assert len(csvs) == 1
+    with open(osp.join(tdir, csvs[0])) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 4  # one row per test instance
+    # scene,im,obj,score,R(9 floats),t(3 floats),time
+    first = lines[0].split(',')
+    assert len(first) == 7
+    assert len(first[4].split()) == 9 and len(first[5].split()) == 3
+
+
+def test_train_cli_rejects_ambiguous_schedule(cli_env):
+    from lc_tpu import train as train_mod
+    with pytest.raises(AssertionError):
+        train_mod.main(['--config', cli_env['cfg'],
+                        '--output', osp.join(cli_env['base'], 'out2'),
+                        '--opts', 'train.num_epochs=1'])  # steps AND epochs set
