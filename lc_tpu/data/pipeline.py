@@ -453,21 +453,31 @@ class Loader:
         cursor = [0]
 
         def worker(tid):
-            while True:
-                with lock:
-                    i = cursor[0]
-                    if i >= len(batches):
-                        break
-                    cursor[0] += 1
-                idxs = batches[i]
-                # per-batch RNG keyed on (seed, epoch, absolute batch index):
-                # augmentation draws are independent of thread assignment and
-                # arrival order, so every run — and every resume — replays the
-                # identical stream (same scheme as MPLoader; the reference
-                # restores the DataLoader RNG state for the same effect)
-                brng = np.random.default_rng((self.seed, epoch, skip + i))
-                samples = [self._sample_ok(int(j), brng) for j in idxs]
-                q.put((i, collate(samples)))
+            # any exception (missing file, corrupt PNG, truncated z_crop —
+            # routine on real datasets) is forwarded through the queue and
+            # re-raised in the consumer, matching MPLoader's future.result()
+            # behavior; without this the sentinel is never put and the
+            # consumer's q.get() blocks forever
+            try:
+                while True:
+                    with lock:
+                        i = cursor[0]
+                        if i >= len(batches):
+                            break
+                        cursor[0] += 1
+                    idxs = batches[i]
+                    # per-batch RNG keyed on (seed, epoch, absolute batch
+                    # index): augmentation draws are independent of thread
+                    # assignment and arrival order, so every run — and every
+                    # resume — replays the identical stream (same scheme as
+                    # MPLoader; the reference restores the DataLoader RNG
+                    # state for the same effect)
+                    brng = np.random.default_rng((self.seed, epoch, skip + i))
+                    samples = [self._sample_ok(int(j), brng) for j in idxs]
+                    q.put((i, collate(samples)))
+            except BaseException as e:  # noqa: BLE001 — forwarded, not dropped
+                q.put(('error', e))
+                return
             q.put((None, None))
 
         threads = [threading.Thread(target=worker, args=(t,), daemon=True)
@@ -485,6 +495,8 @@ class Loader:
                 if done == self.num_threads and want >= len(batches):
                     break
                 continue
+            if i == 'error':
+                raise b
             pending[i] = b
             while want in pending:
                 yield pending.pop(want)
@@ -623,14 +635,19 @@ class MPLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):
-        rng = np.random.default_rng((self.seed, self.epoch))
+        # one consistent epoch value keys BOTH the shuffle and the per-batch
+        # sampling RNG (matching endless(); the previous post-increment batch
+        # key silently drew different augmentations than endless() for the
+        # same nominal epoch)
+        epoch = self.epoch
+        rng = np.random.default_rng((self.seed, epoch))
         order = np.arange(len(self.ds))
         if self.shuffle:
             rng.shuffle(order)
         self.epoch += 1
         n_batches = len(self)
         jobs = [(order[i * self.batch_size:(i + 1) * self.batch_size],
-                 (self.seed, self.epoch, i)) for i in range(n_batches)]
+                 (self.seed, epoch, i)) for i in range(n_batches)]
 
         import collections
         pending = collections.deque()

@@ -186,6 +186,7 @@ def run_test(cfg, model, variables, loader, dataset, evaluator,
     results: dict[str, list] = {}
     total_time = 0.0
     n_insts = 0
+    first_time = first_insts = None       # first batch pays the JIT compile
     for batch in loader:
         t_start = time.perf_counter()
         n_valid = len(batch['im_id'])
@@ -222,6 +223,8 @@ def run_test(cfg, model, variables, loader, dataset, evaluator,
         batch_time = time.perf_counter() - t_start
         total_time += batch_time
         n_insts += n_valid
+        if first_time is None:
+            first_time, first_insts = batch_time, n_valid
         for name, pose7 in states.items():
             R, t = pose7_to_RT(pose7)
             R = np.asarray(R)
@@ -234,10 +237,16 @@ def run_test(cfg, model, variables, loader, dataset, evaluator,
 
     # BOP 'time' column: the toolkit requires ONE value per image (all of an
     # image's estimates must agree, pysixd/inout.py:393-407), and crops of the
-    # same image can land in different batches — so report the uniform mean
-    # wall time per instance (incl. compile amortized over the run). Reference
-    # hardcodes -1 (test.py:191).
-    mean_time = total_time / max(n_insts, 1)
+    # same image can land in different batches — so report the uniform
+    # steady-state mean wall time per instance, EXCLUDING the first batch
+    # (which pays the JIT compile and would inflate the figure well above the
+    # per-instance cost BOP time is meant to capture). Falls back to the
+    # all-batches mean on a single-batch run. Reference hardcodes -1
+    # (test.py:191).
+    if first_time is not None and n_insts > first_insts:
+        mean_time = (total_time - first_time) / (n_insts - first_insts)
+    else:
+        mean_time = total_time / max(n_insts, 1)
     for lst in results.values():
         for r in lst:
             r['time'] = mean_time

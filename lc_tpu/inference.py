@@ -42,29 +42,37 @@ def quantile_mask(den_inv_std2d: jax.Array, quantile) -> jax.Array:
     return w >= thresh
 
 
-def _order_stat_bisect(w: jax.Array, k: jax.Array, iters: int = 32
+def _order_stat_bisect(w: jax.Array, k: jax.Array, iters: int = 34
                        ) -> jax.Array:
     """Exact k-th smallest (0-indexed) of w (B, N) per row, without sorting.
 
-    Bisect a threshold over [min, max] by counting `w <= t` (elementwise
-    compare+reduce — TPU's jnp.sort over (B, 1024) is the expensive op this
-    avoids), then read the exact order statistic as the masked max. 32
-    halvings of the value range reach f32 resolution."""
-    lo = jnp.min(w, axis=-1)
-    hi = jnp.max(w, axis=-1)
+    Bisect over the INT32 BIT PATTERN of the f32 values (sign-folded so the
+    int order matches the float order — the radix-sort trick), counting
+    `key <= mid` per row (elementwise compare+reduce — TPU's jnp.sort over
+    (B, 1024) is the expensive op this avoids). Integer bisection is EXACT for
+    any dynamic range: the earlier value-range bisection had resolution
+    (max-min)/2^32 and silently mis-selected on softmax*exp-scale weights
+    spanning many orders of magnitude."""
+    wi = jax.lax.bitcast_convert_type(w.astype(jnp.float32), jnp.int32)
+    # monotonic int key: identity for non-negative floats, bit-complement of
+    # the magnitude for negatives (maps -0.0 -> -1, more-negative -> smaller)
+    key = wi ^ jnp.where(wi < 0, jnp.int32(0x7FFFFFFF), jnp.int32(0))
+    lo = jnp.min(key, axis=-1)
+    hi = jnp.max(key, axis=-1)
     kk = k.astype(jnp.int32)
 
     def body(_, carry):
         lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        cnt = jnp.sum(w <= mid[..., None], axis=-1)
+        # overflow-safe floor average of two int32s of arbitrary sign
+        mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
+        cnt = jnp.sum(key <= mid[..., None], axis=-1)
         go_up = cnt <= kk          # too few at or below mid: raise the floor
-        return jnp.where(go_up, mid, lo), jnp.where(go_up, hi, mid)
+        return jnp.where(go_up, mid + 1, lo), jnp.where(go_up, hi, mid)
 
     lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
     # exact element: the largest value still within the bracket's upper bound
-    # (count(w <= hi) >= k+1 is invariant, so this is the k-th order statistic)
-    inside = w <= hi[..., None]
+    # (count(key <= hi) >= k+1 is invariant, so this is the k-th order stat)
+    inside = key <= hi[..., None]
     return jnp.max(jnp.where(inside, w, -jnp.inf), axis=-1)
 
 

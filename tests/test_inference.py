@@ -142,6 +142,22 @@ class TestQuantileBisect:
                           method='linear').astype(np.float32)
         np.testing.assert_array_equal(m, w >= thr[:, None])
 
+    def test_wide_dynamic_range(self):
+        # softmax*exp-scale production weights span many orders of magnitude;
+        # value-range bisection had resolution (max-min)/2^32 and returned
+        # e.g. 4669.9 for a true 0.0039 quantile — the int32 bit-pattern
+        # bisection must stay exact (advisor round-2 high finding)
+        from lc_tpu.inference import quantile_mask, quantile_mask_bisect
+        rng = np.random.default_rng(12)
+        w2 = jnp.asarray(np.exp(rng.normal(0, 10, (4, 512, 2))), jnp.float32)
+        for q in (0.1, 0.3, 0.7):
+            a = np.asarray(quantile_mask(w2, q))
+            b = np.asarray(quantile_mask_bisect(w2, q))
+            np.testing.assert_array_equal(a, b)
+            # sanity: the mask keeps ~ (1-q) of the points, not almost none
+            frac = b.mean(axis=-1)
+            assert np.all(frac >= (1 - q) - 0.01), (q, frac)
+
     def test_per_sample_quantiles_and_ties(self):
         from lc_tpu.inference import quantile_mask, quantile_mask_bisect
         rng = np.random.default_rng(11)
