@@ -374,6 +374,259 @@ def bench_zebra():
     }
 
 
+def _build_stage_prefix(kind: str, upto: str):
+    """Pipeline truncated after `upto` ∈ crop|cnn|select|ransac|lm, chained and
+    fetch-synced like the headline — successive-prefix differences give the
+    per-stage budget (each prefix's carry depends on everything it computed)."""
+    import jax
+    import jax.numpy as jnp
+    from lc_tpu.models import build_model
+    from lc_tpu.data.crop import batched_separable_warp
+    from lc_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from lc_tpu.inference import dense_grid_outputs, quantile_mask_bisect
+    from lc_tpu.pnp.ransac import ransac_pnp
+    from lc_tpu.pnp.solver import lm_refine_auto as lm_refine
+
+    zebra = kind == 'zebra'
+    bit_cnt = (7, 7, 6) if zebra else None
+    if zebra:
+        model = build_model('zebra_DeepLabV3', {'concat': True},
+                            total_bit_cnt=sum(bit_cnt))
+    else:
+        model = build_model('cdpn_resnet', {'concat': False})
+    img = jnp.zeros((BATCH, 256, 256, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    frames, affines, K, gt = _bench_scene(out_c=64.0 if zebra else 32.0)
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    noc_field = None
+    if not zebra:
+        # same pose-consistent blend as the headline (production-like LM)
+        from lc_tpu import geom
+        from scipy.spatial.transform import Rotation as sciR
+        rng = np.random.default_rng(0)
+        Rs = sciR.random(BATCH, random_state=1).as_matrix().astype(np.float32)
+        ts = np.concatenate((rng.uniform(-5, 5, (BATCH, 2)),
+                             rng.uniform(400, 600, (BATCH, 1))),
+                            -1).astype(np.float32)
+        uvg = np.asarray(geom.gen_uv((64, 64))).reshape(-1, 2)
+        z = rng.uniform(380, 620, (BATCH, 64 * 64, 1)).astype(np.float32)
+        homo = np.concatenate(
+            (np.broadcast_to(uvg, (BATCH, 64 * 64, 2)) * z, z), -1)
+        xyz = np.asarray(geom.xyz_from_homo_z(
+            jnp.asarray(homo), jnp.asarray(Rs), jnp.asarray(ts), K))
+        noc_field = jnp.asarray((xyz / 100.0).reshape(BATCH, 64, 64, 3))
+
+    @jax.jit
+    def step_fn(key, carry):
+        f = frames + carry
+        crops = batched_separable_warp(f, affines, (256, 256), 'bilinear',
+                                       compute_dtype=jnp.bfloat16)
+        x = (crops / 255.0 - mean) / std
+        key2 = jax.random.split(key)[0]
+        if upto == 'crop':
+            return key2, 1e-20 * jnp.mean(x)
+        out = dict(model.apply(variables, x, train=False))
+        if upto == 'cnn':
+            acc = sum(jnp.mean(v) for v in out.values())
+            return key2, 1e-20 * acc
+        if noc_field is not None:
+            out['xyz_noc'] = noc_field + 1e-3 * out['xyz_noc']
+        d = dense_grid_outputs(out, gt, bit_cnt=bit_cnt,
+                               black_background=False, sample=2)
+        inv_std = d['inv_std2d']
+        if zebra:
+            seg_valid = d['seg_prob'] > 0.5
+            vis_ratio = jnp.mean(seg_valid.astype(jnp.float32), axis=-1)
+            q = 1.0 - (1.0 - 0.2) * vis_ratio
+            valid = quantile_mask_bisect(
+                inv_std * seg_valid[..., None].astype(inv_std.dtype),
+                q) & seg_valid
+        else:
+            valid = quantile_mask_bisect(inv_std, 0.3)
+        if upto == 'select':
+            acc = jnp.mean(valid.astype(jnp.float32)) + jnp.mean(d['pts3d'])
+            return key2, 1e-20 * acc
+        rr = ransac_pnp(gt['out_K'], d['pts3d'], d['pts2d'], key, valid=valid,
+                        reproj_threshold=3.0)
+        if upto == 'ransac':
+            return key2, 1e-20 * jnp.mean(rr.pose7)
+        lm = lm_refine(rr.pose7, gt['out_K'], d['pts3d'], d['pts2d'],
+                       inv_std ** 2, valid=valid, max_iter=50)
+        return key2, 1e-20 * jnp.mean(lm.pose7)
+
+    return (lambda x: step_fn(*x)), (lambda x: np.asarray(x[1])), \
+        (jax.random.PRNGKey(0), jnp.float32(0))
+
+
+def bench_stages(kind: str):
+    """Per-stage budget by successive prefix differencing."""
+    stages = ['crop', 'cnn', 'select', 'ransac', 'lm']
+    totals = {}
+    for s in stages:
+        step, fetch, x0 = _build_stage_prefix(kind, s)
+        totals[s] = _chained_rate(step, fetch, x0)
+    budget = {}
+    prev = 0.0
+    for s in stages:
+        budget[s] = round((totals[s] - prev) * 1e3, 3)
+        prev = totals[s]
+    total_ms = round(totals['lm'] * 1e3, 3)
+    return {
+        "metric": f"{kind} inference stage budget ms/batch "
+                  f"(cumulative-prefix differential): {budget}",
+        "value": total_ms,
+        "unit": "ms/batch total",
+        "vs_baseline": None,
+    }
+
+
+def bench_zebra_mfu():
+    """Zebra-DeepLabV3 forward alone: ms/batch, FLOPs, MFU (cf. bench_mfu)."""
+    import jax
+    import jax.numpy as jnp
+    from lc_tpu.models import build_model
+
+    bit_cnt = (7, 7, 6)
+    model = build_model('zebra_DeepLabV3', {'concat': True},
+                        total_bit_cnt=sum(bit_cnt))
+    img = jnp.zeros((BATCH, 256, 256, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+
+    @jax.jit
+    def fwd_chained(v, x):
+        out = model.apply(v, x, train=False)
+        feedback = jnp.mean(out['xyz_noc_bin']).astype(x.dtype)
+        return x + 1e-12 * feedback
+
+    compiled = fwd_chained.lower(variables, img).compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get('flops', 0.0)) if cost else 0.0
+    dt = _chained_rate(lambda x: fwd_chained(variables, x),
+                       lambda x: np.asarray(x[0, 0, 0, 0]), img)
+    mfu = flops / dt / V5E_PEAK_BF16 if flops else -1.0
+    return {
+        "metric": f"Zebra-DeepLabV3 forward (256² in / 128² out, batch "
+                  f"{BATCH}): {dt * 1e3:.2f} ms/batch, {flops / 1e9:.1f} "
+                  f"GFLOP/batch, MFU vs v5e bf16 peak",
+        "value": round(mfu, 4),
+        "unit": "MFU",
+        "vs_baseline": None,
+    }
+
+
+def bench_zebra_train():
+    """Zebra train step: fwd + binary-code surrogate + LC loss (4096
+    correspondences from the 128² grid) + backward + Adam (zlmo.yaml)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from __graft_entry__ import _synthetic_gt_blob
+    from lc_tpu.loss import LossConfig
+    from lc_tpu.models import build_model
+    from lc_tpu.parallel.train_step import create_train_state, make_train_step
+
+    bit_cnt = (7, 7, 6)
+    model = build_model('zebra_DeepLabV3', {'concat': True},
+                        total_bit_cnt=sum(bit_cnt))
+    loss_cfg = LossConfig(w_loss_noc_bin=3.0, w_loss_seg=1.0, w_loss_pose=0.03,
+                          full_pose_loss_step=1, dense_sample=2,
+                          bit_cnt=bit_cnt)
+    tx = optax.adam(2e-4)
+    gt = {k: jnp.asarray(v) for k, v in
+          _synthetic_gt_blob(BATCH, out_res=128, in_res=256).items()}
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 256, 3)), loss_cfg)
+    step_fn = make_train_step(model, tx, loss_cfg, donate=True)
+    key = jax.random.PRNGKey(1)
+
+    def step(x):
+        return step_fn(x[0], gt, key)
+
+    def fetch(x):
+        float(x[1]['loss_noc_bin'])
+
+    dt = _chained_rate(step, fetch, (state, None), warmup=WARMUP)
+    v = BATCH / dt
+    return {
+        "metric": "zebra train crops/sec/chip (fwd + bin-code + LC loss + bwd "
+                  "+ Adam, batch 32, 256² in / 128² out, dense_sample=2)",
+        "value": round(v, 2),
+        "unit": "crops/s/chip",
+        "vs_baseline": None,
+    }
+
+
+def bench_train_split():
+    """Train-step budget: forward-loss / backward / optimizer split by
+    differential chaining of (loss-only, grad-only, full-step) programs."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _synthetic_gt_blob
+    from lc_tpu.loss import LossConfig
+    from lc_tpu.models import build_model
+    from lc_tpu.optim.ranger import ranger
+    from lc_tpu.parallel.train_step import create_train_state, make_train_step
+    from lc_tpu.loss.loss_fn import compute_losses, zero_taps
+
+    model = build_model('cdpn_resnet', {'concat': False})
+    loss_cfg = LossConfig(w_loss_noc=1.0, w_loss_seg=0.25, w_loss_pose=0.02,
+                          full_pose_loss_step=1, dense_sample=2)
+    tx = ranger(2e-4, weight_decay=1e-4)
+    gt = {k: jnp.asarray(v) for k, v in
+          _synthetic_gt_blob(BATCH, out_res=64, in_res=256).items()}
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 256, 3)), loss_cfg)
+    from lc_tpu.loss.targets import annots_on_the_fly
+
+    def loss_value(params, img_in):
+        variables = {'params': params, 'batch_stats': state.batch_stats}
+        out, _ = model.apply(variables, img_in, train=True,
+                             mutable=['batch_stats'])
+        annot = annots_on_the_fly(gt, out, step=1, sym_aware_start=0,
+                                  bit_cnt=None, black_background=False)
+        g = dict(gt)
+        g.update(annot)
+        total, _, _ = compute_losses(loss_cfg, g, out, state.loss_state, 1,
+                                     zero_taps())
+        return total
+
+    @jax.jit
+    def fwd_only(img_in, carry):
+        v = loss_value(state.params, img_in + carry)
+        return img_in, 1e-20 * v
+
+    @jax.jit
+    def fwd_bwd(img_in, carry):
+        grads = jax.grad(loss_value)(state.params, img_in + carry)
+        acc = sum(jnp.sum(g) for g in jax.tree.leaves(grads))
+        return img_in, 1e-20 * acc
+
+    img = gt['img_in']
+    t_f = _chained_rate(lambda x: fwd_only(x[0], x[1]),
+                        lambda x: np.asarray(x[1]), (img, jnp.float32(0)))
+    t_fb = _chained_rate(lambda x: fwd_bwd(x[0], x[1]),
+                         lambda x: np.asarray(x[1]), (img, jnp.float32(0)))
+
+    step_fn = make_train_step(model, tx, loss_cfg, donate=True)
+    key = jax.random.PRNGKey(1)
+    t_full = _chained_rate(lambda x: step_fn(x[0], gt, key),
+                           lambda x: float(x[1]['loss_noc']), (state, None),
+                           warmup=WARMUP)
+    split = dict(fwd_ms=round(t_f * 1e3, 2),
+                 bwd_ms=round((t_fb - t_f) * 1e3, 2),
+                 optimizer_and_rest_ms=round((t_full - t_fb) * 1e3, 2),
+                 full_step_ms=round(t_full * 1e3, 2))
+    return {
+        "metric": f"train-step budget (CDPN flagship, batch {BATCH}): {split}",
+        "value": split['full_step_ms'],
+        "unit": "ms/step",
+        "vs_baseline": None,
+    }
+
+
 def bench_trace(out_dir: str = '/tmp/lc_tpu_trace'):
     """Capture an XLA profiler trace of the full inference pipeline (inspect
     with TensorBoard's profile plugin or Perfetto on the .trace.json.gz)."""
@@ -402,7 +655,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--mode', default='headline',
                     choices=['headline', 'infer_raw', 'train', 'mfu', 'ref',
-                             'trace', 'zebra'])
+                             'trace', 'zebra', 'stages', 'zebra_stages',
+                             'zebra_mfu', 'zebra_train', 'train_trace'])
     mode = ap.parse_args().mode
     if mode == 'headline':
         out = bench_inference(blend_field=True)
@@ -416,6 +670,16 @@ def main():
         out = bench_trace()
     elif mode == 'zebra':
         out = bench_zebra()
+    elif mode == 'stages':
+        out = bench_stages('cdpn')
+    elif mode == 'zebra_stages':
+        out = bench_stages('zebra')
+    elif mode == 'zebra_mfu':
+        out = bench_zebra_mfu()
+    elif mode == 'zebra_train':
+        out = bench_zebra_train()
+    elif mode == 'train_trace':
+        out = bench_train_split()
     else:
         out = bench_ref()
     print(json.dumps(out))

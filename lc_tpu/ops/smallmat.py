@@ -118,6 +118,31 @@ def chol_factor_small(A: jax.Array) -> tuple[jax.Array, jax.Array]:
     return jnp.stack(rows, axis=-2), ok
 
 
+def inv3(M: jax.Array) -> jax.Array:
+    """Closed-form adjugate inverse of (..., 3, 3) — jnp.linalg.inv lowers to a
+    loop-based batched LU kernel on TPU; the adjugate is 9 cofactors and a
+    divide, all elementwise over the batch."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det,
+                              jnp.sign(det) * 1e-30 + (det == 0) * 1e-30)
+    rows = jnp.stack([jnp.stack([A, B, C], -1),
+                      jnp.stack([D, E, F], -1),
+                      jnp.stack([G, H, I], -1)], -2)
+    return rows * inv_det[..., None, None]
+
+
 def jacobi_eigh_small(A: jax.Array, sweeps: int = 8
                       ) -> tuple[jax.Array, jax.Array]:
     """Symmetric eigendecomposition of tiny matrices by fully unrolled cyclic

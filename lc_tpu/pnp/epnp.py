@@ -38,7 +38,8 @@ def _barycentric(pts3d: jax.Array, ctrl: jax.Array) -> jax.Array:
     """alphas (..., N, 4) with Σα = 1 and pts = Σ α_j ctrl_j."""
     basis = ctrl[..., 1:, :] - ctrl[..., 0:1, :]                # (..., 3, 3) rows
     rel = pts3d - ctrl[..., 0:1, :]                             # (..., N, 3)
-    inv = jnp.linalg.inv(jnp.swapaxes(basis, -1, -2))           # cols -> coefs
+    from ..ops.smallmat import inv3
+    inv = inv3(jnp.swapaxes(basis, -1, -2))                     # cols -> coefs
     beta = rot_pts(rel, inv)                                    # (..., N, 3)
     alpha0 = 1.0 - jnp.sum(beta, axis=-1, keepdims=True)
     return jnp.concatenate((alpha0, beta), axis=-1)
@@ -52,10 +53,15 @@ def _dists6(c: jax.Array) -> jax.Array:
 
 
 def epnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
-         w: jax.Array | None = None, gn_iters: int = 8
+         w: jax.Array | None = None, gn_iters: int = 8, eig_iters: int = 6
          ) -> tuple[jax.Array, jax.Array]:
     """EPnP pose. cam_K (..., 3, 3); pts3d (..., N, 3); pts2d (..., N, 2);
-    w (..., N) weights/mask. Returns (pose7 (..., 7), ok (...))."""
+    w (..., N) weights/mask. Returns (pose7 (..., 7), ok (...)).
+
+    gn_iters/eig_iters trade precision for FLOPs: the defaults suit the final
+    on-inliers fit; RANSAC minimal-sample hypotheses use reduced counts (their
+    noise floor is set by the 6-point sample, not the solver — consensus
+    scoring absorbs the residual solver error)."""
     if w is None:
         w = jnp.ones(pts2d.shape[:-1], pts2d.dtype)
     fx = cam_K[..., 0, 0][..., None]
@@ -87,7 +93,7 @@ def epnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     # TPU (and its remote compile can take minutes); the unrolled inverse
     # subspace iteration recovers the near-null space to ~1e-7 subspace angle
     # (the gap to the data-scale spectrum is orders of magnitude).
-    V, _ = smallest_eigvecs(MtM, 4)                             # (..., 12, 4)
+    V, _ = smallest_eigvecs(MtM, 4, iters=eig_iters)            # (..., 12, 4)
     # camera control candidates per basis vector k: (..., 4(k), 4(pt), 3)
     Vc = jnp.stack([V[..., k].reshape(V.shape[:-2] + (3, 4)).swapaxes(-1, -2)
                     for k in range(4)], axis=-3)
@@ -129,7 +135,15 @@ def epnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     R = _polar_rotation(H)
     ok = _det3(R) > 0
     t = mu_c[..., 0, :] - matvec_rows(R, mu_w[..., 0, :])
-    return jnp.concatenate((matrix_to_quaternion(R), t), axis=-1), ok
+    pose = jnp.concatenate((matrix_to_quaternion(R), t), axis=-1)
+    # near-planar/degenerate samples can blow up the barycentric basis inverse
+    # into inf/NaN; scrub to a benign pose and fold into ok so consensus
+    # scoring (or the caller's invalid fallback) rejects it — NaN would
+    # otherwise poison every jnp.where downstream
+    finite = jnp.all(jnp.isfinite(pose), axis=-1)
+    ok = ok & finite
+    default = jnp.zeros_like(pose).at[..., 0].set(1.0).at[..., 6].set(1.0)
+    return jnp.where(finite[..., None], pose, default), ok
 
 
 def matvec_rows(R: jax.Array, x: jax.Array) -> jax.Array:

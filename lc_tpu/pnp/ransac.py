@@ -3,17 +3,23 @@
 The reference round-trips every batch to a host multiprocessing pool running
 OpenCV EPnP+RANSAC per instance (reference lib/pnp/cv2_solver.py:8-108,
 test.py:120). Here the whole batch solves on-device: all `num_hypotheses`
-minimal-subset solves run as one batched inhomogeneous DLT (11×11 Cholesky each),
-inlier counting is one vectorized reprojection pass, and the winning hypothesis is
-re-fit on its inliers with a mask-weighted DLT. Rotations come from Newton–Schulz
-polar iteration; every tiny contraction is VPU elementwise (ops/smallmat.py).
+minimal-subset solves run as one batched EPnP (unrolled 12×12 subspace
+iteration each — matching OpenCV's SOLVEPNP_EPNP hypothesis estimator), inlier
+counting is one vectorized reprojection pass, and the winner goes through
+iterative local optimization (EPnP refit on inliers + recount↔Gauss-Newton
+rounds). Rotations come from Newton–Schulz polar iteration; every tiny
+contraction is VPU elementwise (ops/smallmat.py).
 
-The minimal solver is a normalized DLT on 6 points rather than EPnP-on-5: with
-pixels premultiplied by K⁻¹ the projection matrix is λ[R|t] directly, and R is
-recovered by orthogonal Procrustes — all batched linear algebra that XLA maps
-well. Parity with OpenCV is statistical (same inlier threshold semantics,
-reprojectionError in pixels; 150 hypotheses ≈ iterationsCount=150), which is the
-strongest guarantee the reference itself offers (RANSAC RNG differs run to run).
+Parity with OpenCV is statistical (same inlier threshold semantics,
+reprojectionError in pixels; 150 hypotheses ≈ iterationsCount=150), pinned by
+tests/test_parity_ransac.py: on identical problem sets across noise
+σ∈{1,2,4} px × outliers {0,20,40}%, pose-error quantiles are at or below
+cv2.solvePnPRansac's — the strongest guarantee the reference itself offers
+(OpenCV's RANSAC RNG differs run to run). A normalized-DLT minimal solver
+(dlt_pnp below) is kept for callers wanting the cheaper estimator, but is no
+longer the hypothesis path: at minimal sample size its 11-unknown system has
+no redundancy and noise amplification put best-consensus rotation error at
+38° vs EPnP's 2.9° (4 px noise).
 """
 from __future__ import annotations
 
@@ -107,6 +113,84 @@ def dlt_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     return jnp.concatenate((matrix_to_quaternion(R), t), axis=-1), ok
 
 
+def planar_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
+               w: jax.Array | None = None) -> tuple[jax.Array, jax.Array]:
+    """Pose for (near-)planar point sets. Returns (pose7 (..., 7), ok (...)).
+
+    EPnP's 4-control-point frame and the 11-unknown DLT both collapse when the
+    3D points are coplanar (rank-deficient basis / normal matrix) — and planar
+    targets are routine (FPS keypoint grids on one box face, flat objects).
+    Here: project points into their weighted-PCA plane frame, solve the 8-DOF
+    image↔plane homography by ridge Cholesky (8×8, batched elementwise), and
+    decompose Zhang-style (λ from the two rotation columns, r3 = r1×r2,
+    Newton–Schulz polar to orthonormalize). Intended as a hypothesis/refit
+    candidate next to EPnP: MSAC consensus keeps whichever regime fits."""
+    if w is None:
+        w = jnp.ones(pts2d.shape[:-1], pts2d.dtype)
+    from ..ops.smallmat import jacobi_eigh_small, chol_solve_small
+    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
+    c = jnp.sum(pts3d * w[..., None], axis=-2) / wsum            # (..., 3)
+    rel = pts3d - c[..., None, :]
+    cov = jnp.einsum('...ni,...nj->...ij', rel * w[..., None], rel)
+    _, evec = jacobi_eigh_small(cov)                             # ascending
+    b1 = evec[..., :, 2]                                         # in-plane
+    b2 = evec[..., :, 1]
+    q1 = jnp.sum(rel * b1[..., None, :], axis=-1)                # (..., N)
+    q2 = jnp.sum(rel * b2[..., None, :], axis=-1)
+    # normalize plane coords to unit RMS for conditioning
+    qs = jnp.sqrt(jnp.maximum(jnp.sum((q1 * q1 + q2 * q2) * w, axis=-1,
+                                      keepdims=True) / wsum / 2.0, 1e-12))
+    q1n = q1 / qs
+    q2n = q2 / qs
+
+    inv_K = jnp.linalg.inv(cam_K)
+    ones = jnp.ones_like(pts2d[..., :1])
+    xy1 = jnp.concatenate((pts2d, ones), axis=-1)
+    xy = rot_pts(xy1, inv_K)[..., :2]
+    x = xy[..., 0]
+    y = xy[..., 1]
+    one = jnp.ones_like(q1n)
+    zero = jnp.zeros_like(q1n)
+    # rows for H (8 unknowns, H[2,2]=1): [q1 q2 1 0 0 0 -x q1 -x q2]·h = x
+    ru = jnp.stack((q1n, q2n, one, zero, zero, zero, -x * q1n, -x * q2n), -1)
+    rv = jnp.stack((zero, zero, zero, q1n, q2n, one, -y * q1n, -y * q2n), -1)
+    A = jnp.concatenate((ru, rv), axis=-2)                       # (..., 2N, 8)
+    b = jnp.concatenate((x, y), axis=-1)
+    wr = jnp.concatenate((w, w), axis=-1)
+    Aw = A * wr[..., None]
+    AtA = jnp.sum(Aw[..., :, None] * A[..., None, :], axis=-3)
+    AtA = AtA + 1e-8 * jnp.eye(8, dtype=A.dtype)
+    Atb = jnp.sum(Aw * b[..., None], axis=-2)
+    h, chol_ok = chol_solve_small(AtA, Atb)
+
+    h1 = jnp.stack((h[..., 0], h[..., 3], h[..., 6]), -1)        # H col 0
+    h2 = jnp.stack((h[..., 1], h[..., 4], h[..., 7]), -1)
+    h3 = jnp.stack((h[..., 2], h[..., 5], jnp.ones_like(h[..., 0])), -1)
+    # H = k·[qs·R_p e1, qs·R_p e2, T] with T the camera-frame plane centroid;
+    # λ0 = 2/(‖h1‖+‖h2‖) = 1/(k·qs) recovers unit rotation columns, and
+    # T = λ0·qs·h3. Cheirality is automatic: h3_z is pinned to 1 by the
+    # inhomogeneous solve, so T_z = λ0·qs > 0.
+    n1 = jnp.linalg.norm(h1, axis=-1)
+    n2 = jnp.linalg.norm(h2, axis=-1)
+    lam = 2.0 / jnp.maximum(n1 + n2, 1e-12)
+    r1 = lam[..., None] * h1
+    r2 = lam[..., None] * h2
+    r3 = jnp.cross(r1, r2)
+    R_raw = jnp.stack((r1, r2, r3), axis=-1)                     # cols
+    R_p = _polar_rotation(R_raw)
+    t_p = lam[..., None] * h3
+    # back to world frame: X − c = Bf @ (q1, q2, 0)ᵀ
+    Bf = jnp.stack((b1, b2, jnp.cross(b1, b2)), axis=-1)         # cols
+    R_w = mm_small(R_p, jnp.swapaxes(Bf, -1, -2))
+    t_w = t_p * qs - jnp.sum(R_w * c[..., None, :], axis=-1)
+    ok = chol_ok & (_det3(R_w) > 0) & (t_w[..., 2] > 0)
+    pose = jnp.concatenate((matrix_to_quaternion(R_w), t_w), axis=-1)
+    finite = jnp.all(jnp.isfinite(pose), axis=-1)
+    ok = ok & finite
+    default = jnp.zeros_like(pose).at[..., 0].set(1.0).at[..., 6].set(1.0)
+    return jnp.where(finite[..., None], pose, default), ok
+
+
 def _reproj_err(pose_R, pose_t, cam_K, pts3d, pts2d):
     cam = rot_pts(pts3d, pose_R) + pose_t[..., None, :]
     h = rot_pts(cam, cam_K)
@@ -152,7 +236,26 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     sub3d = take(pts3d)                                      # (B, K, s, 3)
     sub2d = take(pts2d)[..., :2]                             # (B, K, s, 2)
 
-    pose_h, ok_h = dlt_pnp(cam_K[:, None], sub3d, sub2d)     # (B, K, 7), (B, K)
+    # minimal-sample solvers: every sample is solved by THREE estimators with
+    # complementary degeneracy regimes, all competing in one consensus pool —
+    # (1) EPnP (OpenCV's SOLVEPNP_EPNP hypothesis estimator,
+    # cv2_solver.py:72-75): best for well-spread 3D samples (its rigidity
+    # constraints keep noise amplification low: best-consensus rotation error
+    # 2.9° vs DLT's 38° at 4 px noise) but its 4-control-point frame collapses
+    # on (near-)planar samples; (2) the planar homography solver: exact on
+    # planar samples (routine: FPS keypoint grids on one face, flat objects)
+    # but wrong for deep 3D; (3) the ridge DLT: noisy but degeneracy-free —
+    # its minimum-norm solution covers the thin-slab middle ground where both
+    # others fail (observed: a near-planar 6-subset with singular values
+    # 77/49/5 where EPnP and the homography each scored 0 consensus and DLT
+    # scored 69). MSAC consensus keeps whichever regime fits each instance.
+    from .epnp import epnp
+    pose_ep, ok_ep = epnp(cam_K[:, None], sub3d, sub2d,      # (B, K, 7), (B, K)
+                          gn_iters=5, eig_iters=4)           # cheap hyp mode
+    pose_pl, ok_pl = planar_pnp(cam_K[:, None], sub3d, sub2d)
+    pose_dl, ok_dl = dlt_pnp(cam_K[:, None], sub3d, sub2d)
+    pose_h = jnp.concatenate((pose_ep, pose_pl, pose_dl), axis=1)  # (B, 3K, 7)
+    ok_h = jnp.concatenate((ok_ep, ok_pl, ok_dl), axis=1)
 
     from ..geom.rotations import quaternion_to_matrix
     R_h = quaternion_to_matrix(pose_h[..., :4])
@@ -167,28 +270,71 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     n_inl = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0]
     best_pose = jnp.take_along_axis(pose_h, best[:, None, None], axis=1)[:, 0]
 
-    # local optimization (LO-RANSAC): re-fit on the winning inlier set with EPnP
-    # (OpenCV's final on-inliers estimator), polish with a short unweighted
-    # Gauss-Newton, then recount inliers with the polished model. Without the
-    # polish the minimal-sample estimators' bias (several px of systematic
-    # reprojection error under noise) undercounts the inlier set.
+    # iterative local optimization (LO-RANSAC): re-fit on the winning inlier
+    # set with EPnP (OpenCV's final on-inliers estimator), then alternate
+    # short unweighted Gauss-Newton refits with inlier recounts. The minimal
+    # 6-point DLT hypotheses carry several px of noise-induced bias, so the
+    # winning hypothesis's inlier set covers only ~half the true consensus
+    # and is geometrically biased toward it — a single refit+polish converges
+    # to that biased optimum (measured 2.0° median vs cv2's 0.26° at 1 px
+    # noise). Each recount admits the points the improved model now explains;
+    # the set reaches its fixed point in one round, two more confirm it
+    # (measured 0.20° median post-loop, at/below cv2 on every
+    # noise x outlier condition — tests/test_parity_ransac.py).
     from .solver import lm_refine_auto as lm_refine
-    from .epnp import epnp
-    refit_pose, refit_ok = epnp(cam_K, pts3d, pts2d, best_inl.astype(jnp.float32))
-    enough = n_inl >= sample_size
-    use_refit = refit_ok & enough
-    pose = jnp.where(use_refit[:, None], refit_pose, best_pose)
 
-    polish = lm_refine(pose, cam_K, pts3d, pts2d,
-                       jnp.ones_like(pts2d), valid=best_inl & valid,
-                       max_iter=10)
-    pose = jnp.where(polish.invalid[:, None], pose, polish.pose7)
+    def msac_score(p7, mult=1.0):
+        """Truncated-quadratic model score at the FINAL threshold (lower =
+        better; MSAC scoring breaks count ties toward the tighter fit), plus
+        the support mask at `mult`× the threshold (the fitting band)."""
+        R = quaternion_to_matrix(p7[..., :4])
+        e = _reproj_err(R, p7[..., 4:7], cam_K, pts3d, pts2d)
+        e2 = jnp.minimum(jnp.square(e), jnp.square(thr[:, None]))
+        e2 = jnp.where(valid, e2, 0.0)
+        return jnp.sum(e2, axis=-1), (e < mult * thr[:, None]) & valid
 
-    R_f = quaternion_to_matrix(pose[..., :4])
-    err_f = _reproj_err(R_f, pose[..., 4:7], cam_K, pts3d, pts2d)
-    best_inl = (err_f < thr[:, None]) & valid
+    pose = best_pose
+    score, cur_inl = msac_score(pose, 2.0)
+    # threshold-annealed iterative LO (Lebeda-style m·θ shrink): round 1 fits
+    # on a 2×-threshold band — at high noise the final band captures only a
+    # biased sliver of the good points (3 px band at 4 px noise ≈ 24% of them)
+    # and refits on it hill-climb a biased optimum; the wide band is ~3× the
+    # sample and nearly unbiased. Round 2 tightens to the final threshold.
+    for mult in (2.0, 1.0):
+        enough = jnp.sum(cur_inl, -1) >= sample_size
+        # candidate A: EPnP refit on the current support set (escapes the
+        # reprojection objective's local minima — the two-fold PnP ambiguity
+        # traps pure descent: measured a case where GN stalls 1.9° off while
+        # EPnP on the same inliers is exact). Candidate A': the planar refit —
+        # covers planar supports where EPnP's control frame is rank-deficient.
+        # MSAC acceptance keeps whichever actually fits.
+        w_inl = cur_inl.astype(jnp.float32)
+        for cand, ok_c in (epnp(cam_K, pts3d, pts2d, w_inl),
+                           planar_pnp(cam_K, pts3d, pts2d, w_inl),
+                           dlt_pnp(cam_K, pts3d, pts2d, w_inl)):
+            s_c, inl_c = msac_score(cand, mult)
+            take = ok_c & enough & (s_c < score)
+            pose = jnp.where(take[:, None], cand, pose)
+            score = jnp.where(take, s_c, score)
+            cur_inl = jnp.where(take[:, None], inl_c, cur_inl)
+        # candidate B: short Gauss-Newton descent on the same set
+        gn = lm_refine(pose, cam_K, pts3d, pts2d, jnp.ones_like(pts2d),
+                       valid=cur_inl, max_iter=10)
+        s_b, inl_b = msac_score(gn.pose7, mult)
+        take_b = ~gn.invalid & (s_b < score)
+        pose = jnp.where(take_b[:, None], gn.pose7, pose)
+        score = jnp.where(take_b, s_b, score)
+        cur_inl = jnp.where(take_b[:, None], inl_b, cur_inl)
+
+    # final support/validity at the exact threshold; a batch row where every
+    # hypothesis degenerated can carry a non-finite pose — return a benign
+    # identity pose with invalid=True instead (the reference's cv2 wrapper
+    # returns a zero pose + invalid on solver failure, cv2_solver.py:76-80)
+    _, best_inl = msac_score(pose, 1.0)
     n_inl = jnp.sum(best_inl, axis=-1)
-
-    invalid = n_inl < 4
+    finite = jnp.all(jnp.isfinite(pose), axis=-1)
+    default = jnp.zeros_like(pose).at[..., 0].set(1.0).at[..., 6].set(1.0)
+    pose = jnp.where(finite[..., None], pose, default)
+    invalid = (n_inl < 4) | ~finite
     return RansacResult(pose7=pose, invalid=invalid, inliers=best_inl,
                         n_inliers=n_inl)

@@ -56,19 +56,56 @@ def main(argv=None):
     in_w, in_h = test_set.net_input_wh
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, in_h, in_w, 3)), train=False)
-    from .parallel.train_step import TrainState
-    try:  # full TrainState checkpoint from lc_tpu.train
-        from .optim.factory import build_optimizer
-        tx = build_optimizer(cfg.optimizer, cfg.scheduler, 1)
-        from .parallel.train_step import create_train_state
-        from .harness import make_loss_config
-        tmpl = create_train_state(
-            model, tx, jax.random.PRNGKey(0), jnp.zeros((1, in_h, in_w, 3)),
-            make_loss_config(cfg, 1, bit_cnt))
-        state, _ = load_state(args.weight, tmpl)
-        variables = {'params': state.params, 'batch_stats': state.batch_stats}
-    except Exception:  # plain {'params','batch_stats'} export
-        variables, _ = load_state(args.weight, variables)
+
+    if args.weight.endswith(('.pth', '.pt')):
+        # reference-released torch weights (readme.md:68-70): auto-port through
+        # torch_port, net architecture selected by the config
+        from .models.torch_port import (load_torch_state_dict,
+                                        port_cdpn_checkpoint,
+                                        port_zebra_checkpoint)
+        sd = load_torch_state_dict(args.weight)
+        net = cfg.model.net_name
+        if net == 'cdpn_resnet':
+            concat = bool(cfg.model.get('net_config', {}).get('concat', False))
+            params, stats = port_cdpn_checkpoint(sd, concat=concat)
+        elif net == 'zebra_DeepLabV3':
+            params, stats = port_zebra_checkpoint(sd)
+        else:
+            raise SystemExit(f'no torch checkpoint port for net_name={net}')
+        ported = {'params': params, 'batch_stats': stats}
+        # structural check against the config-built model before proceeding
+        t_paths = {jax.tree_util.keystr(p) + str(jnp.shape(v)) for p, v in
+                   jax.tree_util.tree_flatten_with_path(variables)[0]}
+        p_paths = {jax.tree_util.keystr(p) + str(jnp.shape(v)) for p, v in
+                   jax.tree_util.tree_flatten_with_path(ported)[0]}
+        if t_paths != p_paths:
+            diff = sorted(t_paths ^ p_paths)[:8]
+            raise SystemExit(
+                f'ported torch checkpoint does not match the configured '
+                f'model (first mismatches: {diff})')
+        variables = jax.tree.map(jnp.asarray, ported)
+        logger.info('ported torch checkpoint %s (%s)', args.weight, net)
+    else:
+        from .utils.checkpoint import peek_state_keys
+        keys = peek_state_keys(args.weight)
+        if 'opt_state' in keys:  # full TrainState checkpoint from lc_tpu.train
+            from .optim.factory import build_optimizer
+            tx = build_optimizer(cfg.optimizer, cfg.scheduler, 1)
+            from .parallel.train_step import create_train_state
+            from .harness import make_loss_config
+            tmpl = create_train_state(
+                model, tx, jax.random.PRNGKey(0),
+                jnp.zeros((1, in_h, in_w, 3)),
+                make_loss_config(cfg, 1, bit_cnt))
+            state, _ = load_state(args.weight, tmpl)
+            variables = {'params': state.params,
+                         'batch_stats': state.batch_stats}
+        elif 'params' in keys:  # plain {'params','batch_stats'} export
+            variables, _ = load_state(args.weight, variables)
+        else:
+            raise SystemExit(
+                f'unrecognized checkpoint payload in {args.weight}: '
+                f'top-level fields {sorted(keys)}')
 
     if args.deterministic:
         # reference test.py:249-253: deterministic algorithms + cv2 RNG seed.

@@ -168,3 +168,16 @@ def load_state(path: str, state_template):
     with open(path, 'rb') as f:
         blob = pickle.loads(f.read())
     return serialization.from_bytes(state_template, blob['state']), blob['aux']
+
+
+def peek_state_keys(path: str) -> set:
+    """Top-level field names of the serialized payload WITHOUT needing a
+    template — lets callers sniff the checkpoint format (full TrainState has
+    'opt_state'/'step'; a plain variables export has only
+    'params'/'batch_stats') instead of try/except-probing with the wrong
+    template, which turned corrupt checkpoints into confusing structure
+    errors."""
+    with open(path, 'rb') as f:
+        blob = pickle.loads(f.read())
+    raw = serialization.msgpack_restore(blob['state'])
+    return set(raw.keys()) if isinstance(raw, dict) else set()

@@ -58,6 +58,27 @@ def test_train_then_test_cli(cli_env):
     assert len(first[4].split()) == 9 and len(first[5].split()) == 3
 
 
+def test_test_cli_ports_torch_checkpoint(cli_env):
+    """--weight model.pth: the CLI auto-detects the torch format and ports it
+    through torch_port before evaluating (reference workflow readme.md:68-70 —
+    released .pth weights straight into test.py)."""
+    torch = pytest.importorskip('torch')
+    import sys
+    sys.path.insert(0, osp.dirname(__file__))
+    from test_torch_port_full import fake_cdpn_sd
+    from lc_tpu import test as test_mod
+
+    sd = {k: torch.from_numpy(v) for k, v in fake_cdpn_sd().items()}
+    pth = osp.join(cli_env['base'], 'model_best.pth')
+    torch.save({'model': sd}, pth)
+
+    tdir = osp.join(cli_env['base'], 'testout_pth')
+    results = test_mod.main(['--weight', pth, '--config', cli_env['cfg'],
+                             '--output', tdir, '--obj', '1'])
+    assert 'weighted' in results and 'avg_score' in results['weighted']
+    assert [f for f in os.listdir(tdir) if f.endswith('.csv')]
+
+
 def test_train_cli_rejects_ambiguous_schedule(cli_env):
     from lc_tpu import train as train_mod
     with pytest.raises(AssertionError):

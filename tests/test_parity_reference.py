@@ -746,3 +746,211 @@ class TestAnnotsOnTheFly:
             gt_j, dict(pts2d=J(pts2d)), sym_aware_started=True, bit_cnt=None)
         close(Rt_j, tnp(Rt_t))
         close(xyz_j, tnp(xyz_t), atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Loss_fn.forward orchestration (reference losses.py:261-316): the ramp/blend/
+# weighting glue over the (individually golden-tested) components — closes the
+# last seam between "pieces match" and "the training objective matches".
+# ---------------------------------------------------------------------------
+
+class _Cfg(dict):
+    """dict with attribute access + .get — stands in for the mmcv Config the
+    reference Loss_fn reads (cfg.pose_loss_cfg, cfg.get('w_loss_pose', 0), …)."""
+    __getattr__ = dict.__getitem__
+
+
+class TestLossOrchestration:
+    rng = np.random.default_rng(31)
+    NZ_STEP = 10
+    FULL_STEP = 50
+    RAMP_STEPS = (0, 9, 10, 30, 50, 80)   # straddle nz_step and full_pose_loss_step
+
+    def _ref_cfg(self, binary=False, sparse=False):
+        w = (dict(w_loss_kpts=1.0, w_loss_pose=0.02) if sparse else
+             dict(w_loss_noc_bin=3.0, w_loss_seg=0.25, w_loss_pose=0.02)
+             if binary else
+             dict(w_loss_noc=1.0, w_loss_seg=0.25, w_loss_pose=0.02))
+        return _Cfg(
+            pose_loss_cfg=_Cfg(clip_weight_grad=False, dense_sample=2,
+                               max_err_len=32),
+            pose_loss_start_step=self.FULL_STEP,
+            loss_pose_nz_step=self.NZ_STEP, seg_loss_type='BCE', **w)
+
+    def _our_cfg(self, binary=False, sparse=False, bit_cnt=None):
+        from lc_tpu.loss.loss_fn import LossConfig
+        w = (dict(w_loss_kpts=1.0, w_loss_pose=0.02) if sparse else
+             dict(w_loss_noc_bin=3.0, w_loss_seg=0.25, w_loss_pose=0.02)
+             if binary else
+             dict(w_loss_noc=1.0, w_loss_seg=0.25, w_loss_pose=0.02))
+        return LossConfig(full_pose_loss_step=self.FULL_STEP,
+                          loss_pose_nz_step=self.NZ_STEP, dense_sample=2,
+                          max_err_len=32.0, clip_weight_grad=False,
+                          sparse=sparse, bit_cnt=bit_cnt,
+                          black_background=False, **w)
+
+    def _dense_case(self, binary):
+        B, H, W = 2, 16, 16
+        bit_cnt = (6, 5, 3) if binary else None
+        C = sum(bit_cnt) if binary else 3
+        pose = rand_poses(self.rng, B)
+        Kc = crop_K(B)
+        msk_noc = (self.rng.random((B, H, W)) > 0.25).astype(np.float64)
+        msk_vis = (self.rng.random((B, H, W)) > 0.3).astype(np.float64)
+        noc_scale = 30 + self.rng.random((B, 3)) * 40
+        bbox = (self.rng.random((B, 8, 3)) - 0.5) * 60
+        out = dict(
+            field=self.rng.normal(size=(B, H, W, C)) * (2.0 if binary else 0.3),
+            wl=self.rng.normal(size=(B, H, W, 2)),
+            ml=self.rng.normal(size=(B, H, W, 1)) * 2,
+            scale=np.exp(self.rng.normal(size=(B, 1, 1, 1)) * 0.2))
+        if binary:
+            xyz_gt = self.rng.normal(size=(B, H, W, 3)) * 20
+            tgt_t, raw_t = ref.losses.xyz_to_nn_target(
+                T(xyz_gt), T(noc_scale), noc_mask=torch.from_numpy(msk_noc > 0.5),
+                bit_cnt=list(bit_cnt))
+            tgt = np.moveaxis(tnp(tgt_t.double()), 1, -1)
+            raw = np.moveaxis(tnp(raw_t), 1, -1)
+        else:
+            tgt = self.rng.normal(size=(B, H, W, 3)) * 0.4
+            raw = None
+        return dict(B=B, H=H, W=W, bit_cnt=bit_cnt, pose=pose, Kc=Kc,
+                    msk_noc=msk_noc, msk_vis=msk_vis, noc_scale=noc_scale,
+                    bbox=bbox, out=out, tgt=tgt, raw=raw)
+
+    def _run_ref_dense(self, c, step, binary):
+        cfg = self._ref_cfg(binary=binary)
+        total_bits = sum(c["bit_cnt"]) if binary else 0
+        fn = ref.losses.Loss_fn(cfg, _Cfg(), total_bit_cnt=total_bits)
+        key = 'xyz_noc_bin' if binary else 'xyz_noc'
+        # the reference dataset ships msk_noc as bool in the zebra configs (the
+        # scripted decode requires a boolean mask); float in the CDPN configs
+        msk_noc_t = torch.from_numpy(c["msk_noc"] > 0.5) if binary \
+            else T(c["msk_noc"])
+        gt_t = dict(
+            msk_noc=msk_noc_t, msk_vis=T(c["msk_vis"]),
+            pose_best=T(c["pose"]), out_K=T(c["Kc"]), bbox_3d=T(c["bbox"]),
+            noc_scale=T(c["noc_scale"]))
+        gt_t[('xyz_noc_bin_tgt' if binary else 'xyz_noc_tgt')] = \
+            T(np.moveaxis(c["tgt"], -1, 1))
+        if binary:
+            gt_t['xyz_noc_bin_raw'] = torch.from_numpy(
+                np.moveaxis(c["raw"], -1, 1))
+            gt_t['bit_cnt'] = list(c["bit_cnt"])
+        out_t = {
+            key: T(np.moveaxis(c["out"]["field"], -1, 1)),
+            'xyz_weight_logits': T(np.moveaxis(c["out"]["wl"], -1, 1)),
+            'msk_vis_logits': T(np.moveaxis(c["out"]["ml"], -1, 1)),
+            'xyz_weights_scale': T(c["out"]["scale"]),
+        }
+        for v in out_t.values():
+            v.requires_grad_(True)
+        old = ref.floatbits._black_background
+        ref.floatbits.set_black_background(False)
+        np.random.seed(1234)          # reference draws top_left internally
+        try:
+            ld, wld = fn(gt_t, out_t, epoch=0, step=step, steps_per_epoch=100)
+        finally:
+            ref.floatbits.set_black_background(old)
+        total = sum(wld.values())
+        grads = torch.autograd.grad(total, list(out_t.values()))
+        return ({k: float(v) for k, v in ld.items()}, float(total),
+                {k: tnp(g) for k, g in zip(out_t, grads)})
+
+    def _run_ours_dense(self, c, step, binary):
+        from lc_tpu.loss import loss_fn as lf
+        cfg = self._our_cfg(binary=binary, bit_cnt=c["bit_cnt"])
+        state = lf.init_loss_state(cfg)
+        if binary:    # f64 island for the golden comparison
+            state = state._replace(histogram=state.histogram.astype(jnp.float64))
+        key = 'xyz_noc_bin' if binary else 'xyz_noc'
+        gt_j = dict(
+            msk_noc=J(c["msk_noc"]), msk_vis=J(c["msk_vis"]),
+            pose_best=J(c["pose"]), out_K=J(c["Kc"]), bbox_3d=J(c["bbox"]),
+            noc_scale=J(c["noc_scale"]))
+        gt_j[('xyz_noc_bin_tgt' if binary else 'xyz_noc_tgt')] = J(c["tgt"])
+        if binary:
+            gt_j['xyz_noc_bin_raw'] = jnp.asarray(c["raw"])
+        out_j = {
+            key: J(c["out"]["field"]),
+            'xyz_weight_logits': J(c["out"]["wl"]),
+            'msk_vis_logits': J(c["out"]["ml"]),
+            'xyz_weights_scale': J(c["out"]["scale"]),
+        }
+        np.random.seed(1234)
+        top_left = tuple(np.random.randint(0, 2, size=2))
+
+        def total_fn(out):
+            tot, ld, _ = lf.compute_losses(cfg, gt_j, out, state, step,
+                                           lf.zero_taps(),
+                                           sample_top_left=top_left)
+            return tot, ld
+        (tot, ld), grads = jax.value_and_grad(total_fn, has_aux=True)(out_j)
+        return ({k: float(v) for k, v in ld.items()}, float(tot),
+                {k: np.asarray(v) for k, v in grads.items()})
+
+    @pytest.mark.parametrize("binary", [False, True])
+    def test_dense_orchestration(self, binary):
+        c = self._dense_case(binary)
+        for step in self.RAMP_STEPS:
+            ld_t, tot_t, _ = self._run_ref_dense(c, step, binary)
+            ld_j, tot_j, _ = self._run_ours_dense(c, step, binary)
+            assert set(ld_j) == set(ld_t), (set(ld_j), set(ld_t))
+            for k in ld_t:
+                np.testing.assert_allclose(ld_j[k], ld_t[k], rtol=1e-7,
+                                           atol=1e-9, err_msg=f'{k}@{step}')
+            np.testing.assert_allclose(tot_j, tot_t, rtol=1e-7, atol=1e-9,
+                                       err_msg=f'total@{step}')
+
+    @pytest.mark.parametrize("binary", [False, True])
+    def test_dense_orchestration_grads(self, binary):
+        """d(weighted total)/d(every network output) through the full glue —
+        ramp blend, softmax weights, seg/surrogate mix — at a mid-ramp step."""
+        c = self._dense_case(binary)
+        _, _, g_t = self._run_ref_dense(c, 30, binary)
+        _, _, g_j = self._run_ours_dense(c, 30, binary)
+        key = 'xyz_noc_bin' if binary else 'xyz_noc'
+        for name in (key, 'xyz_weight_logits', 'msk_vis_logits'):
+            np.testing.assert_allclose(
+                np.moveaxis(g_j[name], -1, 1), g_t[name], rtol=1e-6, atol=1e-9,
+                err_msg=name)
+        np.testing.assert_allclose(g_j['xyz_weights_scale'],
+                                   g_t['xyz_weights_scale'], rtol=1e-6,
+                                   atol=1e-9)
+
+    def test_sparse_orchestration(self):
+        B, S = 2, 16
+        pose = rand_poses(self.rng, B)
+        Kc = crop_K(B)
+        pts3d = (self.rng.random((B, S, 3)) - 0.5) * 60
+        bbox = (self.rng.random((B, 8, 3)) - 0.5) * 60
+        Rt_, tt_ = ref.xforms.quaternion_rep_to_RT(T(pose))
+        proj = tnp(ref.xforms.project_apply(T(Kc), T(pts3d), Rt_, tt_))
+        pts2d = proj + self.rng.normal(size=proj.shape)
+        std = 0.3 + self.rng.random(proj.shape)
+
+        cfg_t = self._ref_cfg(sparse=True)
+        fn = ref.losses.Loss_fn(cfg_t, _Cfg())
+        from lc_tpu.loss import loss_fn as lf
+        cfg_j = self._our_cfg(sparse=True)
+        state = lf.init_loss_state(cfg_j)
+
+        for step in self.RAMP_STEPS:
+            gt_t = dict(pose_best=T(pose), out_K=T(Kc), pts3d=T(pts3d),
+                        bbox_3d=T(bbox), msk_noc=T(np.ones((B, 4, 4))),
+                        msk_vis=T(np.ones((B, 4, 4))))
+            out_t = dict(pts2d=T(pts2d), pts2d_std=T(std))
+            ld_t, wld_t = fn(gt_t, out_t, epoch=0, step=step,
+                             steps_per_epoch=100)
+            gt_j = dict(pose_best=J(pose), out_K=J(Kc), pts3d=J(pts3d),
+                        bbox_3d=J(bbox))
+            out_j = dict(pts2d=J(pts2d), pts2d_std=J(std))
+            tot_j, ld_j, _ = lf.compute_losses(cfg_j, gt_j, out_j, state, step,
+                                               lf.zero_taps())
+            assert set(ld_j) == set(ld_t)
+            for k in ld_t:
+                np.testing.assert_allclose(
+                    float(ld_j[k]), float(ld_t[k]), rtol=1e-7, atol=1e-9,
+                    err_msg=f'{k}@{step}')
+            np.testing.assert_allclose(
+                float(tot_j), float(sum(wld_t.values())), rtol=1e-7, atol=1e-9)
