@@ -405,7 +405,8 @@ class Loader:
 
     def __init__(self, dataset: BOPDataset, batch_size: int, *, seed: int = 0,
                  shuffle: bool | None = None, num_threads: int = 4,
-                 prefetch: int = 2, drop_last: bool | None = None):
+                 prefetch: int = 2, drop_last: bool | None = None,
+                 process_index: int = 0, process_count: int = 1):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = dataset.training if shuffle is None else shuffle
@@ -415,6 +416,18 @@ class Loader:
         self.prefetch = prefetch
         self.epoch = 0
         self._skip = 0
+        # multi-host sharding: each process assembles only its contiguous
+        # 1/process_count slice of every GLOBAL batch (the shuffle order and
+        # per-sample RNG stay keyed on global positions, so the union of the
+        # process streams is exactly the single-process stream — no host pays
+        # decode cost for rows it would throw away)
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1:
+            assert batch_size % process_count == 0, (
+                f'batch_size {batch_size} not divisible by '
+                f'{process_count} processes')
+            assert self.drop_last, 'sharded loading requires drop_last'
 
     def __len__(self):
         n = len(self.ds)
@@ -466,14 +479,22 @@ class Loader:
                             break
                         cursor[0] += 1
                     idxs = batches[i]
-                    # per-batch RNG keyed on (seed, epoch, absolute batch
-                    # index): augmentation draws are independent of thread
-                    # assignment and arrival order, so every run — and every
-                    # resume — replays the identical stream (same scheme as
-                    # MPLoader; the reference restores the DataLoader RNG
-                    # state for the same effect)
-                    brng = np.random.default_rng((self.seed, epoch, skip + i))
-                    samples = [self._sample_ok(int(j), brng) for j in idxs]
+                    # per-SAMPLE RNG keyed on (seed, epoch, absolute batch
+                    # index, global position in the batch): augmentation draws
+                    # are independent of thread assignment, arrival order AND
+                    # process sharding, so every run — every resume, and the
+                    # union of multi-host slices — replays the identical
+                    # stream (same scheme as MPLoader; the reference restores
+                    # the DataLoader RNG state for the same effect)
+                    base = 0
+                    if self.process_count > 1:
+                        per = len(idxs) // self.process_count
+                        base = self.process_index * per
+                        idxs = idxs[base:base + per]
+                    samples = [
+                        self._sample_ok(int(j), np.random.default_rng(
+                            (self.seed, epoch, skip + i, base + jj)))
+                        for jj, j in enumerate(idxs)]
                     q.put((i, collate(samples)))
             except BaseException as e:  # noqa: BLE001 — forwarded, not dropped
                 q.put(('error', e))
@@ -595,11 +616,13 @@ def _mp_init(cfg_dataset, cfg_global, train):
 
 
 def _mp_make_batch(args):
-    idxs, seed = args
-    rng = np.random.default_rng(seed)
+    idxs, seed, base = args
     ds = _WORKER_DS
     samples = []
-    for i in idxs:
+    for jj, i in enumerate(idxs):
+        # per-sample key (seed, epoch, batch, global position): sharding- and
+        # worker-independent (see Loader.worker)
+        rng = np.random.default_rng(seed + (base + jj,))
         blob = ds.sample(int(i), rng)
         while blob is None:
             blob = ds.sample(int(rng.integers(len(ds))), rng)
@@ -616,7 +639,8 @@ class MPLoader:
     def __init__(self, cfg_dataset, cfg_global, *, batch_size: int,
                  train: bool = True, seed: int = 0, num_workers: int = 8,
                  prefetch: int = 4, shuffle: bool | None = None,
-                 drop_last: bool | None = None):
+                 drop_last: bool | None = None, process_index: int = 0,
+                 process_count: int = 1):
         import concurrent.futures as cf
         # a local dataset instance for metadata (bit_cnt, sizes, ...)
         self.ds = BOPDataset(cfg_dataset, cfg_global, train=train)
@@ -626,9 +650,22 @@ class MPLoader:
         self.drop_last = train if drop_last is None else drop_last
         self.prefetch = prefetch
         self.epoch = 0
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1:
+            assert batch_size % process_count == 0
+            assert self.drop_last, 'sharded loading requires drop_last'
         self._pool = cf.ProcessPoolExecutor(
             max_workers=num_workers, initializer=_mp_init,
             initargs=(cfg_dataset, cfg_global, train))
+
+    def _carve(self, idxs):
+        """(local index slice, global base position) for this process."""
+        if self.process_count <= 1:
+            return idxs, 0
+        per = len(idxs) // self.process_count
+        base = self.process_index * per
+        return idxs[base:base + per], base
 
     def __len__(self):
         n = len(self.ds)
@@ -646,8 +683,11 @@ class MPLoader:
             rng.shuffle(order)
         self.epoch += 1
         n_batches = len(self)
-        jobs = [(order[i * self.batch_size:(i + 1) * self.batch_size],
-                 (self.seed, epoch, i)) for i in range(n_batches)]
+        jobs = []
+        for i in range(n_batches):
+            local, base = self._carve(
+                order[i * self.batch_size:(i + 1) * self.batch_size])
+            jobs.append((local, (self.seed, epoch, i), base))
 
         import collections
         pending = collections.deque()
@@ -718,8 +758,9 @@ def _mploader_endless(loader: 'MPLoader', start: int = 0):
             if loader.shuffle:
                 rng.shuffle(order)
             for i in range(i0, n):
-                yield (order[i * loader.batch_size:(i + 1) * loader.batch_size],
-                       (loader.seed, epoch, i))
+                local, base = loader._carve(
+                    order[i * loader.batch_size:(i + 1) * loader.batch_size])
+                yield (local, (loader.seed, epoch, i), base)
             epoch += 1
             i0 = 0
 

@@ -57,8 +57,16 @@ def build_model_from_cfg(cfg, total_bit_cnt: int):
 
 def make_datasets(cfg, train: bool = True, seed: int = 0):
     """Returns (dataset(s), loader) — a RatioMixLoader when train_dataset_1 exists
-    (reference utils.py:79-147, MultiLoader)."""
+    (reference utils.py:79-147, MultiLoader).
+
+    Train loaders are shard-aware on multi-process runs: each host assembles
+    only its 1/process_count slice of every global batch (the streams are pure
+    functions of global (seed, epoch, index) so the union is unchanged), and
+    train() places the local rows directly via shard_local_batch."""
+    import jax
     batch = cfg.dataloader.batch_size
+    proc = dict(process_index=jax.process_index(),
+                process_count=jax.process_count()) if train else {}
     if train and 'train_dataset_1' in cfg:
         import copy
         d1_cfg = copy.deepcopy(cfg.train_dataset_1)
@@ -69,18 +77,19 @@ def make_datasets(cfg, train: bool = True, seed: int = 0):
         ds1 = BOPDataset(d1_cfg, cfg, train=True)
         ds0 = BOPDataset(cfg.train_dataset, cfg, train=True)
         nw = max(cfg.dataloader.get('num_workers', 4) // 2, 1)
-        l1 = Loader(ds1, b1, seed=seed, num_threads=nw)
-        l0 = Loader(ds0, batch - b1, seed=seed + 1, num_threads=nw)
+        l1 = Loader(ds1, b1, seed=seed, num_threads=nw, **proc)
+        l0 = Loader(ds0, batch - b1, seed=seed + 1, num_threads=nw, **proc)
         return ds0, RatioMixLoader(l0, l1)
     ds_cfg = cfg.train_dataset if train else cfg.test_dataset
     if train and cfg.dataloader.get('multiprocess', False):
         from .data.pipeline import MPLoader
         loader = MPLoader(ds_cfg, cfg, batch_size=batch, train=True, seed=seed,
-                          num_workers=cfg.dataloader.get('num_workers', 8))
+                          num_workers=cfg.dataloader.get('num_workers', 8),
+                          **proc)
         return loader.ds, loader
     ds = BOPDataset(ds_cfg, cfg, train=train)
     loader = Loader(ds, batch, seed=seed, shuffle=train, drop_last=train,
-                    num_threads=cfg.dataloader.get('num_workers', 4))
+                    num_threads=cfg.dataloader.get('num_workers', 4), **proc)
     return ds, loader
 
 
@@ -91,6 +100,14 @@ class RatioMixLoader:
         self.l0, self.l1 = loader0, loader1
         self.i0 = iter(self.l0)
         self.i1 = iter(self.l1)
+
+    @property
+    def process_count(self):
+        # shard-aware when the sub-loaders are: the concatenated local batch
+        # is this process's rows of both sub-streams (a fixed permutation of
+        # the contiguous global carving — harmless, batch rows are exchangeable
+        # under the data-parallel mean and GSPMD's cross-shard reductions)
+        return self.l0.process_count
 
     def __len__(self):
         return max(len(self.l0), len(self.l1))

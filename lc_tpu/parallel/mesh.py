@@ -71,6 +71,19 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = 'data'):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_local_batch(mesh: Mesh, local_batch, axis_name: str = 'data'):
+    """Place a batch whose rows are ALREADY this process's slice of the global
+    batch (shard-aware loaders, Loader/MPLoader with process_count > 1) — no
+    slicing, each host only ever decoded its own rows. Single-process: plain
+    sharded device_put."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), local_batch)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), local_batch)
+
+
 def replicate(mesh: Mesh, tree):
     sharding = NamedSharding(mesh, P())
     if jax.process_count() > 1:

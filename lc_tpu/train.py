@@ -144,7 +144,14 @@ def train(args, cfg, outdir: str, mesh='auto', record_metrics=None):
             s += 1
 
     from .data.pipeline import device_prefetch
-    place = (lambda b: shard_batch(mesh, b)) if mesh is not None else None
+    place = None
+    if mesh is not None:
+        from .parallel.mesh import shard_local_batch
+        if getattr(comps['train_loader'], 'process_count', 1) > 1:
+            # shard-aware loaders: each host decoded only its own rows
+            place = (lambda b: shard_local_batch(mesh, b))
+        else:
+            place = (lambda b: shard_batch(mesh, b))
     gt_iter = device_prefetch(
         endless_batches(),
         lambda dev, k: device_preprocess(dev, k, **pp_kwargs),

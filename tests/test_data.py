@@ -333,6 +333,52 @@ class TestLoaderCrashSafety:
                 pass
 
 
+class TestShardedLoading:
+    """Shard-aware host loading: with (process_index, process_count) set, each
+    'host' assembles only its slice of every global batch, and the union of
+    the slices is bit-identical to the single-process stream (augmentation
+    RNG keyed on global sample position, not assembly order)."""
+
+    def test_loader_union_matches_global(self, syn_root):
+        cfg_ds, cfg_g = make_cfgs(syn_root)
+        ds = pipeline.BOPDataset(cfg_ds, cfg_g, train=True)
+
+        def mk(pi, pc):
+            return pipeline.Loader(ds, batch_size=4, num_threads=1, seed=3,
+                                   shuffle=True, drop_last=True,
+                                   process_index=pi, process_count=pc)
+
+        global_batches = list(mk(0, 1))
+        local0 = list(mk(0, 2))
+        local1 = list(mk(1, 2))
+        assert len(global_batches) == len(local0) == len(local1)
+        for g, a, b in zip(global_batches, local0, local1):
+            assert len(a['im_id']) == len(b['im_id']) == 2  # half each
+            for k in g:
+                np.testing.assert_array_equal(
+                    np.concatenate((a[k], b[k]), axis=0), g[k])
+
+    def test_mploader_union_matches_global(self, syn_root):
+        cfg_ds, cfg_g = make_cfgs(syn_root)
+        from lc_tpu.data.pipeline import MPLoader
+
+        def mk(pi, pc):
+            return MPLoader(cfg_ds, cfg_g, batch_size=4, train=True, seed=3,
+                            num_workers=2, process_index=pi, process_count=pc)
+
+        lg, l0, l1 = mk(0, 1), mk(0, 2), mk(1, 2)
+        try:
+            ig, i0, i1 = lg.endless(), l0.endless(), l1.endless()
+            for _ in range(4):
+                g, a, b = next(ig), next(i0), next(i1)
+                assert len(a['im_id']) == len(b['im_id']) == 2
+                for k in g:
+                    np.testing.assert_array_equal(
+                        np.concatenate((a[k], b[k]), axis=0), g[k])
+        finally:
+            lg.close(), l0.close(), l1.close()
+
+
 class TestMPLoader:
     def test_iter_endless_same_epoch_same_stream(self, syn_root):
         """__iter__ and endless() must draw identical batches for the same
