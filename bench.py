@@ -449,8 +449,8 @@ def _build_stage_prefix(kind: str, upto: str):
             acc = jnp.mean(valid.astype(jnp.float32)) + jnp.mean(d['pts3d'])
             return key2, 1e-20 * acc
         rr = ransac_pnp(gt['out_K'], d['pts3d'], d['pts2d'], key, valid=valid,
-                        reproj_threshold=3.0)
-        if upto == 'ransac':
+                        reproj_threshold=3.0, local_opt=(upto != 'hyp'))
+        if upto in ('hyp', 'ransac'):
             return key2, 1e-20 * jnp.mean(rr.pose7)
         lm = lm_refine(rr.pose7, gt['out_K'], d['pts3d'], d['pts2d'],
                        inv_std ** 2, valid=valid, max_iter=50)
@@ -461,8 +461,9 @@ def _build_stage_prefix(kind: str, upto: str):
 
 
 def bench_stages(kind: str):
-    """Per-stage budget by successive prefix differencing."""
-    stages = ['crop', 'cnn', 'select', 'ransac', 'lm']
+    """Per-stage budget by successive prefix differencing ('hyp' = RANSAC
+    hypothesis generation + winner selection; 'ransac' adds the LO loop)."""
+    stages = ['crop', 'cnn', 'select', 'hyp', 'ransac', 'lm']
     totals = {}
     for s in stages:
         step, fetch, x0 = _build_stage_prefix(kind, s)

@@ -79,8 +79,9 @@ def _order_stat_bisect(w: jax.Array, k: jax.Array, iters: int = 34
 def quantile_mask_bisect(den_inv_std2d: jax.Array, quantile) -> jax.Array:
     """quantile_mask with the sort replaced by exact order-statistic bisection
     (same numpy/torch 'linear' interpolation semantics, bitwise-equal mask —
-    pinned by tests incl. ties). The production select in solve_pnp_dense:
-    measured 0.33 ms vs 0.96 ms for the sort form at (32, 1024)."""
+    pinned by tests incl. ties and wide-dynamic-range weights). The production
+    select in solve_pnp_dense: `bench.py --mode stages` puts the whole
+    decode+select stage at ~0.16 ms/batch (BASELINE.md stage budget)."""
     w = jnp.sum(den_inv_std2d, axis=-1)                       # (B, N)
     n = w.shape[-1]
     q = jnp.asarray(quantile, w.dtype)
@@ -141,8 +142,8 @@ def solve_pnp_dense(out: dict, gt: dict, key: jax.Array, *, bit_cnt=None,
     if point_select == 'mask':
         valid = seg_valid
     elif point_select == 'quantile':
-        # bisection variant: bit-identical mask, 0.33 vs 0.96 ms for the
-        # sort on (32, 1024) weights (tests pin equality incl. ties)
+        # bisection variant: bit-identical mask to the sort form (tests pin
+        # equality incl. ties), no TPU sort on the hot path
         valid = quantile_mask_bisect(inv_std, quantile)
     elif point_select == 'quantile_in_mask':
         vis_ratio = jnp.mean(seg_valid.astype(jnp.float32), axis=-1)

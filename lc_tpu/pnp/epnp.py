@@ -21,13 +21,14 @@ from ..ops.smallmat import (chol_solve_small, jacobi_eigh_small, rot_pts,
                             smallest_eigvecs)
 
 
-def _control_points(pts3d: jax.Array, w: jax.Array) -> jax.Array:
+def _control_points(pts3d: jax.Array, w: jax.Array, sweeps: int = 8
+                    ) -> jax.Array:
     """(..., N, 3), (..., N) -> 4 control points (..., 4, 3): centroid + PCA axes."""
     wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
     c0 = jnp.sum(pts3d * w[..., None], axis=-2) / wsum          # (..., 3)
     centered = (pts3d - c0[..., None, :]) * jnp.sqrt(w)[..., None]
     cov = jnp.einsum('...ni,...nj->...ij', centered, centered) / wsum[..., None]
-    eigval, eigvec = jacobi_eigh_small(cov)                     # ascending
+    eigval, eigvec = jacobi_eigh_small(cov, sweeps=sweeps)      # ascending
     scale = jnp.sqrt(jnp.maximum(eigval, 1e-9))                 # (..., 3)
     axes = jnp.swapaxes(eigvec, -1, -2) * scale[..., None]      # rows = axes
     return jnp.concatenate((c0[..., None, :],
@@ -53,8 +54,8 @@ def _dists6(c: jax.Array) -> jax.Array:
 
 
 def epnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
-         w: jax.Array | None = None, gn_iters: int = 8, eig_iters: int = 6
-         ) -> tuple[jax.Array, jax.Array]:
+         w: jax.Array | None = None, gn_iters: int = 8, eig_iters: int = 6,
+         cp_sweeps: int = 8) -> tuple[jax.Array, jax.Array]:
     """EPnP pose. cam_K (..., 3, 3); pts3d (..., N, 3); pts2d (..., N, 2);
     w (..., N) weights/mask. Returns (pose7 (..., 7), ok (...)).
 
@@ -69,7 +70,7 @@ def epnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     cx = cam_K[..., 0, 2][..., None]
     cy = cam_K[..., 1, 2][..., None]
 
-    ctrl_w = _control_points(pts3d, w)                          # (..., 4, 3)
+    ctrl_w = _control_points(pts3d, w, sweeps=cp_sweeps)        # (..., 4, 3)
     alphas = _barycentric(pts3d, ctrl_w)                        # (..., N, 4)
 
     # M rows: Σ_j α_j [f_x x_j + (c_x - u) z_j] = 0 (and the v row); unknowns are

@@ -114,7 +114,8 @@ def dlt_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
 
 
 def planar_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
-               w: jax.Array | None = None) -> tuple[jax.Array, jax.Array]:
+               w: jax.Array | None = None, pca_sweeps: int = 8
+               ) -> tuple[jax.Array, jax.Array]:
     """Pose for (near-)planar point sets. Returns (pose7 (..., 7), ok (...)).
 
     EPnP's 4-control-point frame and the 11-unknown DLT both collapse when the
@@ -132,7 +133,7 @@ def planar_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     c = jnp.sum(pts3d * w[..., None], axis=-2) / wsum            # (..., 3)
     rel = pts3d - c[..., None, :]
     cov = jnp.einsum('...ni,...nj->...ij', rel * w[..., None], rel)
-    _, evec = jacobi_eigh_small(cov)                             # ascending
+    _, evec = jacobi_eigh_small(cov, sweeps=pca_sweeps)          # ascending
     b1 = evec[..., :, 2]                                         # in-plane
     b2 = evec[..., :, 1]
     q1 = jnp.sum(rel * b1[..., None, :], axis=-1)                # (..., N)
@@ -191,6 +192,39 @@ def planar_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     return jnp.where(finite[..., None], pose, default), ok
 
 
+def _planar_flip(pose7: jax.Array, pts3d: jax.Array, w: jax.Array
+                 ) -> jax.Array:
+    """The two-fold planar-pose ambiguity's OTHER solution (Schweighofer &
+    Pinz): mirror the camera-frame plane normal across the viewing ray of the
+    centroid and rotate the pose accordingly. For a (near-)planar support set
+    both poses reproject almost identically under noise — proposing the flip
+    as an MSAC candidate lets the slightly-better-fitting one win instead of
+    whichever the homography decomposition happened to land on. Harmless for
+    non-planar supports (the flip scores far worse and is rejected)."""
+    from ..geom.rotations import quaternion_to_matrix, matrix_to_quaternion, \
+        axis_angle_to_matrix
+    from ..ops.smallmat import jacobi_eigh_small
+    R = quaternion_to_matrix(pose7[..., :4])
+    t = pose7[..., 4:7]
+    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
+    c = jnp.sum(pts3d * w[..., None], axis=-2) / wsum
+    rel = pts3d - c[..., None, :]
+    cov = jnp.einsum('...ni,...nj->...ij', rel * w[..., None], rel)
+    _, evec = jacobi_eigh_small(cov)
+    b3 = evec[..., :, 0]                                 # world plane normal
+    n_c = jnp.sum(R * b3[..., None, :], axis=-1)         # R @ b3
+    # viewing ray of the camera-frame centroid R c + t
+    cc = jnp.sum(R * c[..., None, :], axis=-1) + t
+    v = cc / jnp.maximum(jnp.linalg.norm(cc, axis=-1, keepdims=True), 1e-9)
+    n2 = 2.0 * jnp.sum(v * n_c, axis=-1, keepdims=True) * v - n_c
+    axis = jnp.cross(n_c, n2)
+    s = jnp.linalg.norm(axis, axis=-1)
+    ang = jnp.arctan2(s, jnp.sum(n_c * n2, axis=-1))
+    aa = axis / jnp.maximum(s, 1e-9)[..., None] * ang[..., None]
+    R2 = mm_small(axis_angle_to_matrix(aa), R)
+    return jnp.concatenate((matrix_to_quaternion(R2), t), axis=-1)
+
+
 def _reproj_err(pose_R, pose_t, cam_K, pts3d, pts2d):
     cam = rot_pts(pts3d, pose_R) + pose_t[..., None, :]
     h = rot_pts(cam, cam_K)
@@ -203,7 +237,10 @@ def _reproj_err(pose_R, pose_t, cam_K, pts3d, pts2d):
 def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
                key: jax.Array, valid: jax.Array | None = None, *,
                reproj_threshold: jax.Array | float = 3.0,
-               num_hypotheses: int = 150, sample_size: int = 6) -> RansacResult:
+               num_hypotheses: int = 150, sample_size: int = 6,
+               local_opt: bool = True,
+               hyp_estimators: tuple = ('epnp', 'planar', 'dlt')
+               ) -> RansacResult:
     """Robust pose init for a batch of correspondence sets.
 
     cam_K: (B, 3, 3); pts3d: (B, N, 3); pts2d: (B, N, 2); valid: (B, N) mask for
@@ -250,12 +287,18 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     # 77/49/5 where EPnP and the homography each scored 0 consensus and DLT
     # scored 69). MSAC consensus keeps whichever regime fits each instance.
     from .epnp import epnp
-    pose_ep, ok_ep = epnp(cam_K[:, None], sub3d, sub2d,      # (B, K, 7), (B, K)
-                          gn_iters=5, eig_iters=4)           # cheap hyp mode
-    pose_pl, ok_pl = planar_pnp(cam_K[:, None], sub3d, sub2d)
-    pose_dl, ok_dl = dlt_pnp(cam_K[:, None], sub3d, sub2d)
-    pose_h = jnp.concatenate((pose_ep, pose_pl, pose_dl), axis=1)  # (B, 3K, 7)
-    ok_h = jnp.concatenate((ok_ep, ok_pl, ok_dl), axis=1)
+    cand_h = []
+    if 'epnp' in hyp_estimators:
+        cand_h.append(epnp(cam_K[:, None], sub3d, sub2d,     # (B, K, 7), (B, K)
+                           gn_iters=4, eig_iters=3,          # cheap hyp mode:
+                           cp_sweeps=4))                     # consensus + LO
+    if 'planar' in hyp_estimators:                           # absorb the
+        cand_h.append(planar_pnp(cam_K[:, None], sub3d, sub2d,  # solver noise
+                                 pca_sweeps=4))
+    if 'dlt' in hyp_estimators:
+        cand_h.append(dlt_pnp(cam_K[:, None], sub3d, sub2d))
+    pose_h = jnp.concatenate([c[0] for c in cand_h], axis=1)  # (B, nE·K, 7)
+    ok_h = jnp.concatenate([c[1] for c in cand_h], axis=1)
 
     from ..geom.rotations import quaternion_to_matrix
     # winner selection scores every hypothesis on a strided ≤256-point subset:
@@ -301,6 +344,14 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
 
     pose = best_pose
     score, cur_inl = msac_score(pose, 2.0)
+    if not local_opt:   # benchmark split: hypotheses + winner selection only
+        _, best_inl = msac_score(pose, 1.0)
+        n_inl = jnp.sum(best_inl, axis=-1)
+        finite = jnp.all(jnp.isfinite(pose), axis=-1)
+        default = jnp.zeros_like(pose).at[..., 0].set(1.0).at[..., 6].set(1.0)
+        return RansacResult(pose7=jnp.where(finite[..., None], pose, default),
+                            invalid=(n_inl < 4) | ~finite, inliers=best_inl,
+                            n_inliers=n_inl)
     # threshold-annealed iterative LO (Lebeda-style m·θ shrink): round 1 fits
     # on a 2×-threshold band — at high noise the final band captures only a
     # biased sliver of the good points (3 px band at 4 px noise ≈ 24% of them)
@@ -320,9 +371,11 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
             # actually fits.
             enough = jnp.sum(cur_inl, -1) >= sample_size
             w_inl = cur_inl.astype(jnp.float32)
+            ok_all = jnp.ones(pose.shape[:-1], bool)
             for cand, ok_c in (epnp(cam_K, pts3d, pts2d, w_inl),
                                planar_pnp(cam_K, pts3d, pts2d, w_inl),
-                               dlt_pnp(cam_K, pts3d, pts2d, w_inl)):
+                               dlt_pnp(cam_K, pts3d, pts2d, w_inl),
+                               (_planar_flip(pose, pts3d, w_inl), ok_all)):
                 s_c, inl_c = msac_score(cand, mult)
                 take = ok_c & enough & (s_c < score)
                 pose = jnp.where(take[:, None], cand, pose)
