@@ -260,6 +260,62 @@ class TestEPnP:
         np.testing.assert_allclose(np.asarray(p7[:, 4:]), pose[:, 4:], atol=1.5)
 
 
+class TestFastMinimal:
+    """epnp6_fast (scalar-struct hypothesis solver) vs the generic epnp in its
+    cheap hypothesis mode: statistically identical output, zero stacks."""
+
+    def _problems(self, noise):
+        rng = np.random.default_rng(0)
+        B, Kh = 8, 50
+        Kc = np.broadcast_to(K, (B, 3, 3)).copy()
+        Rs = sciR.random(B * Kh, random_state=1).as_matrix().astype(
+            np.float32).reshape(B, Kh, 3, 3)
+        ts = np.concatenate((rng.uniform(-5, 5, (B, Kh, 2)),
+                             rng.uniform(400, 600, (B, Kh, 1))),
+                            -1).astype(np.float32)
+        P3 = rng.uniform(-50, 50, (B, Kh, 6, 3)).astype(np.float32)
+        cam = np.einsum('bkij,bknj->bkni', Rs, P3) + ts[:, :, None]
+        uvw = np.einsum('bij,bknj->bkni', Kc, cam)
+        uv = (uvw[..., :2] / uvw[..., 2:3]
+              + rng.normal(0, noise, uvw[..., :2].shape)).astype(np.float32)
+        return Kc, P3, uv, ts
+
+    def test_matches_generic_cheap_mode(self):
+        from lc_tpu.pnp.epnp import epnp
+        from lc_tpu.pnp.fast_minimal import epnp6_fast
+        Kc, P3, uv, ts = self._problems(noise=1.0)
+        pg, okg = epnp(jnp.asarray(Kc)[:, None], jnp.asarray(P3),
+                       jnp.asarray(uv), gn_iters=4, eig_iters=3, cp_sweeps=4)
+        pf, okf = epnp6_fast(jnp.asarray(Kc), jnp.asarray(P3), jnp.asarray(uv),
+                             gn_iters=4, eig_iters=3, pca_sweeps=4)
+        okg, okf = np.asarray(okg), np.asarray(okf)
+        np.testing.assert_array_equal(okg, okf)
+        both = okg & okf
+        dt = np.linalg.norm(np.asarray(pg)[..., 4:] - np.asarray(pf)[..., 4:],
+                            axis=-1)[both]
+        # identical up to float ordering on the bulk; near-degenerate samples
+        # may take different (equally valid) branches — bound the bulk tightly
+        assert np.median(dt) < 0.1, np.median(dt)
+        assert np.percentile(dt, 90) < 5.0, np.percentile(dt, 90)
+
+    def test_noiseless_tail_matches(self):
+        # the cheap mode's known noiseless failure tail (N=1-beta + GN on
+        # near-degenerate samples) must be THE SAME tail, not a worse one
+        from lc_tpu.pnp.epnp import epnp
+        from lc_tpu.pnp.fast_minimal import epnp6_fast
+        Kc, P3, uv, ts = self._problems(noise=0.0)
+        pg, okg = epnp(jnp.asarray(Kc)[:, None], jnp.asarray(P3),
+                       jnp.asarray(uv), gn_iters=4, eig_iters=3, cp_sweeps=4)
+        pf, okf = epnp6_fast(jnp.asarray(Kc), jnp.asarray(P3), jnp.asarray(uv))
+
+        def terr(p, ok):
+            t = np.asarray(p)[..., 4:]
+            return np.linalg.norm(t - ts, axis=-1)[np.asarray(ok)]
+        eg, ef = terr(pg, okg), terr(pf, okf)
+        assert np.median(ef) < 0.01
+        assert np.percentile(ef, 99) <= np.percentile(eg, 99) * 1.05 + 0.1
+
+
 class TestSmallEigh:
     """The unrolled Jacobi eigh + inverse subspace iteration that replace
     jnp.linalg.eigh inside EPnP (its loop-based TPU kernel dominated the whole
