@@ -272,6 +272,92 @@ def bench_mfu():
     }
 
 
+def bench_mfu_stages():
+    """CDPN forward per-stage budget: cumulative backbone prefixes (stem,
+    layer1..layer4) plus the full model, each chained+fetch-synced like the
+    headline, with per-prefix compiled FLOPs — successive differences give
+    per-stage ms, GFLOP, and MFU. This grounds the whole-forward 60-64% MFU:
+    which stages run below the MXU peak (the 3-input-channel stem, the
+    64-channel layer1 at half the 128-lane width, the memory-bound bilinear
+    upsamples) vs the wide decoder convs that dominate FLOPs."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from lc_tpu.models import build_model
+    from lc_tpu.models.resnet import ResNetStem, ResLayer
+    from lc_tpu.models.layers import max_pool_3x3_s2
+
+    model = build_model('cdpn_resnet', {'concat': False})
+    img = jnp.zeros((BATCH, 256, 256, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    bvars = {'params': variables['params']['net']['backbone'],
+             'batch_stats': variables['batch_stats']['net']['backbone']}
+
+    class _Prefix(nn.Module):
+        """Backbone truncated after `upto`; module names match ResNetBackbone
+        so the full model's variable subtree applies unchanged."""
+        upto: str
+
+        @nn.compact
+        def __call__(self, x):
+            x = ResNetStem(name='stem')(x, train=False)
+            if self.upto == 'stem':
+                return x
+            x = max_pool_3x3_s2(x)
+            for name, args in (('layer1', (64, 3, 1)), ('layer2', (128, 4, 2)),
+                               ('layer3', (256, 6, 2)), ('layer4', (512, 3, 2))):
+                f, n, s = args
+                x = ResLayer(f, n, stride=s, name=name)(x, train=False)
+                if self.upto == name:
+                    return x
+            return x
+
+    stages = ['stem', 'layer1', 'layer2', 'layer3', 'layer4']
+    cum_ms, cum_gf = {}, {}
+    for s in stages:
+        prefix = _Prefix(upto=s)
+
+        @jax.jit
+        def fwd(x, _p=prefix):
+            out = _p.apply(bvars, x)
+            return x + 1e-12 * jnp.mean(out).astype(x.dtype)
+
+        cost = fwd.lower(img).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        cum_gf[s] = float(cost.get('flops', 0.0)) / 1e9 if cost else 0.0
+        cum_ms[s] = _chained_rate(fwd, lambda x: np.asarray(x[0, 0, 0, 0]),
+                                  img) * 1e3
+
+    @jax.jit
+    def fwd_full(x):
+        out = model.apply(variables, x, train=False)
+        return x + 1e-12 * jnp.mean(out['xyz_noc']).astype(x.dtype)
+
+    cost = fwd_full.lower(img).compile().cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    cum_gf['full'] = float(cost.get('flops', 0.0)) / 1e9 if cost else 0.0
+    cum_ms['full'] = _chained_rate(
+        fwd_full, lambda x: np.asarray(x[0, 0, 0, 0]), img) * 1e3
+
+    table, prev_ms, prev_gf = {}, 0.0, 0.0
+    for s in stages + ['full']:
+        dms = cum_ms[s] - prev_ms
+        dgf = cum_gf[s] - prev_gf
+        name = 'decoder+heads' if s == 'full' else s
+        mfu = dgf * 1e9 / (dms * 1e-3) / V5E_PEAK_BF16 if dms > 0 else -1.0
+        table[name] = [round(dms, 3), round(dgf, 1), round(mfu, 3)]
+        prev_ms, prev_gf = cum_ms[s], cum_gf[s]
+
+    full_mfu = cum_gf['full'] * 1e9 / (cum_ms['full'] * 1e-3) / V5E_PEAK_BF16
+    return {
+        "metric": "CDPN forward per-stage [ms, GFLOP, MFU] "
+                  f"(cumulative-prefix differential): {table}",
+        "value": round(full_mfu, 4),
+        "unit": "MFU (full forward)",
+        "vs_baseline": None,
+    }
+
+
 def _ref_solve_one(args):
     import cv2
     p3, uv, Km = args
@@ -368,6 +454,58 @@ def bench_zebra():
     return {
         "metric": "zebra crops/sec/chip end-to-end (crop->DeepLabV3 128² "
                   "bits->Gray decode->PnP, raw untrained output)",
+        "value": round(v, 2),
+        "unit": "crops/s/chip",
+        "vs_baseline": round(v / REF_HOST_RANSAC_CROPS_PER_SEC, 3),
+    }
+
+
+def bench_sparse():
+    """Sparse-keypoint family (gsplmo-shaped): crop -> CDPN-ResNet34 with a
+    16-channel kpt_logits head -> separable softargmax (pts2d + std) ->
+    16-point RANSAC + weighted LM (reference test.py:48-64, sparse_cnt: 16 per
+    configs/gsplmo.yaml). Raw untrained outputs — the softargmax means of an
+    untrained head are mid-grid clusters, the worst case for the solver."""
+    import jax
+    import jax.numpy as jnp
+    from lc_tpu.models import build_model
+    from lc_tpu.data.crop import batched_separable_warp
+    from lc_tpu.inference import solve_pnp_sparse
+    from lc_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+    rng = np.random.default_rng(0)
+    model = build_model('cdpn_resnet', {'concat': False}, sparse_cnt=16)
+    img = jnp.zeros((BATCH, 256, 256, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    frames, affines, K, gt = _bench_scene(out_c=32.0)
+    # 16 FPS-like model keypoints (fixed per object in the reference's
+    # assets/fps/lmo.pkl; any fixed spread-out set gives the same solver work)
+    gt = dict(gt, pts3d=jnp.asarray(np.broadcast_to(
+        rng.uniform(-50, 50, (16, 3)).astype(np.float32), (BATCH, 16, 3))))
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    @jax.jit
+    def step_fn(key, carry):
+        f = frames + carry
+        crops = batched_separable_warp(f, affines, (256, 256), 'bilinear',
+                                       compute_dtype=jnp.bfloat16)
+        x = (crops / 255.0 - mean) / std
+        out = model.apply(variables, x, train=False)
+        states = solve_pnp_sparse(out, gt, key,
+                                  solvers=('ransac', 'weighted'))
+        pose = states['weighted']
+        return jax.random.split(key)[0], 1e-20 * jnp.mean(pose)
+
+    def step(x):
+        return step_fn(*x)
+
+    dt = _chained_rate(step, lambda x: np.asarray(x[1]),
+                       (jax.random.PRNGKey(0), jnp.float32(0)))
+    v = BATCH / dt
+    return {
+        "metric": "sparse-kpt crops/sec/chip end-to-end (crop->CDPN 16-kpt "
+                  "softargmax->16-pt RANSAC+LM, raw untrained output)",
         "value": round(v, 2),
         "unit": "crops/s/chip",
         "vs_baseline": round(v / REF_HOST_RANSAC_CROPS_PER_SEC, 3),
@@ -657,8 +795,18 @@ def main():
     ap.add_argument('--mode', default='headline',
                     choices=['headline', 'infer_raw', 'train', 'mfu', 'ref',
                              'trace', 'zebra', 'stages', 'zebra_stages',
-                             'zebra_mfu', 'zebra_train', 'train_trace'])
-    mode = ap.parse_args().mode
+                             'zebra_mfu', 'zebra_train', 'train_trace',
+                             'sparse', 'mfu_stages'])
+    ap.add_argument('--batch', type=int, default=None,
+                    help='override the batch size (default 32, the reference '
+                         "config's; larger batches amortize fixed per-batch "
+                         'work and raise CNN MFU — the throughput-serving '
+                         'regime)')
+    args = ap.parse_args()
+    mode = args.mode
+    if args.batch is not None:
+        global BATCH
+        BATCH = args.batch
     if mode == 'headline':
         out = bench_inference(blend_field=True)
     elif mode == 'infer_raw':
@@ -671,6 +819,10 @@ def main():
         out = bench_trace()
     elif mode == 'zebra':
         out = bench_zebra()
+    elif mode == 'sparse':
+        out = bench_sparse()
+    elif mode == 'mfu_stages':
+        out = bench_mfu_stages()
     elif mode == 'stages':
         out = bench_stages('cdpn')
     elif mode == 'zebra_stages':

@@ -30,13 +30,41 @@ import jax as _jax
 _jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: first compiles through the TPU toolchain are
-# minutes-long; cache them across processes (harmless on CPU).
+# minutes-long; cache them across processes (harmless on CPU). The directory
+# is keyed by a host-CPU-feature fingerprint: XLA:CPU executables are AOT
+# machine code, and jax's cache key does not fully cover the target machine
+# features — loading an executable cached by a host with a different
+# microarchitecture SIGILLs/segfaults (observed: cpu_aot_loader "machine type
+# doesn't match" warnings followed by a segfault inside cache deserialization
+# when a previous host's avx512-variant entries were reloaded).
+import hashlib as _hashlib
 import os as _os
+import platform as _platform
 
-_cache_dir = _os.environ.get("LC_TPU_JAX_CACHE", "/tmp/lc_tpu_jax_cache")
-try:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-except Exception:  # noqa: BLE001 — older jax without these options
-    pass
+
+def _machine_tag() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return _hashlib.sha1(feats.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return _platform.machine() or "unknown"
+
+
+# The persistent cache stays OFF for CPU-only runs (tests): XLA:CPU executable
+# deserialization has been observed to segfault on reload of large while-loop
+# programs (reproducible at tests/test_parity_ransac.py with a clean same-
+# machine cache), and CPU compiles here are ~a minute at worst. TPU compiles
+# are the minutes-long ones and their serialized form is stable.
+_cache_dir = _os.environ.get("LC_TPU_JAX_CACHE",
+                             f"/tmp/lc_tpu_jax_cache_{_machine_tag()}")
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu":
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # noqa: BLE001 — older jax without these options
+        pass
 

@@ -37,25 +37,6 @@ def ConvTranspose(*args, **kw):
 conv_init = nn.initializers.normal(stddev=0.001)  # reference mmcv normal_init std=.001
 
 
-class ConvBNReLU(nn.Module):
-    features: int
-    kernel: int = 3
-    stride: int = 1
-    dilation: int = 1
-    use_relu: bool = True
-
-    @nn.compact
-    def __call__(self, x, train: bool):
-        pad = self.dilation * (self.kernel // 2)
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=((pad, pad), (pad, pad)),
-                    kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False, kernel_init=conv_init, name='conv')(x)
-        x = BatchNorm(use_running_average=not train, name='bn')(x)
-        return nn.relu(x) if self.use_relu else x
-
-
 @functools.lru_cache(maxsize=32)
 def _bilinear_matrix_np(n_in: int, n_out: int) -> np.ndarray:
     """Align-corners bilinear interpolation matrix (n_out, n_in).

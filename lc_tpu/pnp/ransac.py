@@ -287,19 +287,33 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     # 77/49/5 where EPnP and the homography each scored 0 consensus and DLT
     # scored 69). MSAC consensus keeps whichever regime fits each instance.
     from .epnp import epnp
-    from .fast_minimal import epnp6_fast, planar6_fast, dlt6_fast
     cand_h = []
-    # scalar-struct solvers: statistically identical output to the generic
-    # estimators in cheap hypothesis mode, but ~an order of magnitude closer
-    # to the VPU roofline (no stacks/einsums/scatters — see fast_minimal.py);
-    # the generic full-precision variants remain the LO refit estimators below
-    if 'epnp' in hyp_estimators:
-        cand_h.append(epnp6_fast(cam_K, sub3d, sub2d,        # (B, K, 7), (B, K)
-                                 gn_iters=4, eig_iters=3, pca_sweeps=4))
-    if 'planar' in hyp_estimators:
-        cand_h.append(planar6_fast(cam_K, sub3d, sub2d, pca_sweeps=4))
-    if 'dlt' in hyp_estimators:
-        cand_h.append(dlt6_fast(cam_K, sub3d, sub2d))
+    # Scalar-struct solvers on TPU: statistically identical output to the
+    # generic estimators in cheap hypothesis mode, but ~an order of magnitude
+    # closer to the VPU roofline (no stacks/einsums/scatters — see
+    # fast_minimal.py); the generic full-precision variants remain the LO
+    # refit estimators below. On CPU the generic tensor form is kept: the
+    # scalar-struct trace is thousands of straight-line HLO ops, which the
+    # TPU compiler fuses in seconds but XLA:CPU's LLVM backend takes tens of
+    # minutes to compile (same backend split as pnp.solver.lm_refine_auto).
+    if jax.default_backend() == 'cpu':
+        if 'epnp' in hyp_estimators:
+            cand_h.append(epnp(cam_K[:, None], sub3d, sub2d,
+                               gn_iters=4, eig_iters=3, cp_sweeps=4))
+        if 'planar' in hyp_estimators:
+            cand_h.append(planar_pnp(cam_K[:, None], sub3d, sub2d,
+                                     pca_sweeps=4))
+        if 'dlt' in hyp_estimators:
+            cand_h.append(dlt_pnp(cam_K[:, None], sub3d, sub2d))
+    else:
+        from .fast_minimal import epnp6_fast, planar6_fast, dlt6_fast
+        if 'epnp' in hyp_estimators:
+            cand_h.append(epnp6_fast(cam_K, sub3d, sub2d,    # (B, K, 7), (B, K)
+                                     gn_iters=4, eig_iters=3, pca_sweeps=4))
+        if 'planar' in hyp_estimators:
+            cand_h.append(planar6_fast(cam_K, sub3d, sub2d, pca_sweeps=4))
+        if 'dlt' in hyp_estimators:
+            cand_h.append(dlt6_fast(cam_K, sub3d, sub2d))
     pose_h = jnp.concatenate([c[0] for c in cand_h], axis=1)  # (B, nE·K, 7)
     ok_h = jnp.concatenate([c[1] for c in cand_h], axis=1)
 
