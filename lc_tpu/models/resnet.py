@@ -15,8 +15,10 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 from flax import linen as nn
 
+from . import layers
 from .layers import BatchNorm, Conv, conv_init, max_pool_3x3_s2
 
 
@@ -63,13 +65,62 @@ class ResLayer(nn.Module):
         return x
 
 
+class _StemConvS2D(nn.Module):
+    """The stem's 7x7/s2 convolution computed as 4x4/s1 on the 2x2
+    space-to-depth blocked input.
+
+    A 7x7 conv over 3 input channels puts 3 lanes of work on a 128-lane MXU
+    contraction: >97% of every tile is padding. Blocking the image 2x2 into
+    12 channels and folding the stride into the blocking is the standard TPU
+    reformulation (used by the MLPerf ResNet submissions): out[i,j] =
+    sum_{ky,kx,c} w[ky,kx,c]·x[2i+ky-3, 2j+kx-3, c] becomes, with
+    ky = 2m+dy-1 / kx = 2n+dx-1 and blocks xs[p,q,(dy,dx,c)] = x[2p+dy,2q+dx,c],
+    a dense 4x4 stride-1 conv over 12 channels with padding (2,1) — the SAME
+    arithmetic, term for term (the (m=0,dy=0) kernel slot is identically zero).
+
+    The stored parameter keeps the canonical (7,7,C,features) HWIO layout —
+    checkpoints, torch ports (torch_port.py) and init are unchanged; the
+    rearrangement below is a trace-time transform of the weights that XLA
+    constant-folds into the conv.
+    """
+    features: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        w = self.param('kernel', conv_init, (7, 7, C, self.features))
+        # (7,7,C,O) -> pad leading row/col -> (8,8,C,O) where [2m+dy, 2n+dx]
+        # holds w[2m+dy-1, 2n+dx-1]
+        wp = jax.numpy.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        ws = wp.reshape(4, 2, 4, 2, C, self.features)          # (m,dy,n,dx,C,O)
+        ws = ws.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * C, self.features)
+        B, H, W, _ = x.shape
+        xs = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        dt = layers.COMPUTE_DTYPE
+        return jax.lax.conv_general_dilated(
+            xs.astype(dt), ws.astype(dt), window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
 class ResNetStem(nn.Module):
-    """conv7x7/s2 + BN + ReLU (the part before maxpool)."""
+    """conv7x7/s2 + BN + ReLU (the part before maxpool).
+
+    The convolution runs in space-to-depth form on even-sized inputs (all
+    production shapes; exact same arithmetic — see _StemConvS2D); the plain
+    strided form is kept for odd sizes and as the `s2d=False` reference in
+    tests/benchmarks. Both share the parameter path stem/conv1/kernel.
+    """
+    s2d: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, kernel_init=conv_init, name='conv1')(x)
+        if self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = _StemConvS2D(name='conv1')(x)
+        else:
+            x = Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                        use_bias=False, kernel_init=conv_init, name='conv1')(x)
         x = BatchNorm(use_running_average=not train, name='bn1')(x)
         return nn.relu(x)
 

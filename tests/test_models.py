@@ -51,6 +51,35 @@ class TestLayers:
         finally:
             L.set_compute_dtype(jnp.bfloat16)
 
+    def test_stem_s2d_matches_strided(self):
+        """The space-to-depth stem conv must be arithmetically identical to the
+        plain 7x7/s2 form (same parameter tree, f32 reassociation only), and
+        fall back to the strided conv on odd input sizes."""
+        from lc_tpu.models import layers as L
+        from lc_tpu.models.resnet import ResNetStem
+        L.set_compute_dtype(jnp.float32)
+        try:
+            rng = np.random.default_rng(7)
+            x = jnp.asarray(rng.normal(0, 1, (2, 64, 96, 3)).astype(np.float32))
+            ref = ResNetStem(s2d=False)
+            v = ref.init(jax.random.PRNGKey(0), x, train=False)
+            v = jax.tree.map(lambda a: a, v)
+            v['params']['conv1']['kernel'] = jnp.asarray(
+                rng.normal(0, 0.1, (7, 7, 3, 64)).astype(np.float32))
+            s2d = ResNetStem(s2d=True)
+            assert (jax.tree_util.tree_structure(
+                        s2d.init(jax.random.PRNGKey(0), x, train=False))
+                    == jax.tree_util.tree_structure(v))
+            y_ref = np.asarray(ref.apply(v, x, train=False))
+            y_s2d = np.asarray(s2d.apply(v, x, train=False))
+            np.testing.assert_allclose(y_s2d, y_ref, atol=1e-4)
+            x_odd = x[:, :63, :95]
+            np.testing.assert_allclose(
+                np.asarray(s2d.apply(v, x_odd, train=False)),
+                np.asarray(ref.apply(v, x_odd, train=False)), atol=1e-4)
+        finally:
+            L.set_compute_dtype(jnp.bfloat16)
+
     def test_maxpool_matches_torch(self):
         import torch
         x = np.random.default_rng(3).normal(size=(1, 9, 9, 2)).astype(np.float32)
