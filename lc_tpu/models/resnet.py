@@ -104,6 +104,13 @@ class _StemConvS2D(nn.Module):
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
+# measurement knob: LC_TPU_STEM_S2D=0 selects the plain strided stem conv so
+# benchmarks can A/B the space-to-depth form without a code edit
+import os as _os  # noqa: E402
+
+_S2D_DEFAULT = _os.environ.get('LC_TPU_STEM_S2D', '1') != '0'
+
+
 class ResNetStem(nn.Module):
     """conv7x7/s2 + BN + ReLU (the part before maxpool).
 
@@ -112,7 +119,7 @@ class ResNetStem(nn.Module):
     strided form is kept for odd sizes and as the `s2d=False` reference in
     tests/benchmarks. Both share the parameter path stem/conv1/kernel.
     """
-    s2d: bool = True
+    s2d: bool = _S2D_DEFAULT
 
     @nn.compact
     def __call__(self, x, train: bool):
