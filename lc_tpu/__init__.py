@@ -54,14 +54,36 @@ def _machine_tag() -> str:
     return _platform.machine() or "unknown"
 
 
-# The persistent cache stays OFF for CPU-only runs (tests): XLA:CPU executable
-# deserialization has been observed to segfault on reload of large while-loop
-# programs (reproducible at tests/test_parity_ransac.py with a clean same-
-# machine cache), and CPU compiles here are ~a minute at worst. TPU compiles
-# are the minutes-long ones and their serialized form is stable.
-_cache_dir = _os.environ.get("LC_TPU_JAX_CACHE",
-                             f"/tmp/lc_tpu_jax_cache_{_machine_tag()}")
-if _os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu":
+# The persistent cache stays OFF for CPU runs (tests, TPU-less hosts): XLA:CPU
+# executable deserialization has been observed to segfault on reload of large
+# while-loop programs (reproducible at tests/test_parity_ransac.py with a
+# clean same-machine cache), and CPU compiles here are ~a minute at worst.
+# TPU compiles are the minutes-long ones and their serialized form is stable.
+#
+# The platform test must not initialize a backend (that can block on a remote
+# TPU relay at import time), so it reads only the EXPLICIT selections: the
+# JAX_PLATFORMS env var and jax.config's jax_platforms (set e.g. by a TPU
+# plugin's sitecustomize before user imports). No explicit non-CPU selection →
+# assume CPU and leave the cache off; an explicit LC_TPU_JAX_CACHE always wins.
+_cache_dir = _os.environ.get("LC_TPU_JAX_CACHE")
+_explicit_cache = _cache_dir is not None
+if _cache_dir is None:
+    _cache_dir = f"/tmp/lc_tpu_jax_cache_{_machine_tag()}"
+
+
+def _platform_hint() -> str:
+    env = _os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if env:
+        return env
+    try:
+        cfg = getattr(_jax.config, "jax_platforms", None)
+    except Exception:  # noqa: BLE001
+        cfg = None
+    return (cfg or "").strip().lower()
+
+
+_hint = _platform_hint()
+if _explicit_cache or (_hint and not _hint.startswith("cpu")):
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

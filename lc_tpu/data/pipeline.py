@@ -743,10 +743,11 @@ def _mploader_endless(loader: 'MPLoader', start: int = 0):
     boundaries (per-epoch iterators stall small datasets; real ones amortize).
 
     `start` resumes at a global batch index. Every batch is a pure function of
-    (seed, epoch, i) — the shuffle order keys on (seed, epoch) and each batch's
-    sampling RNG on (seed, epoch, i), independent of worker assignment — so a
-    resumed stream is bit-identical to the uninterrupted one (the reference
-    restores the DataLoader RNG state on resume for the same effect)."""
+    its position — the shuffle order keys on (seed, epoch) and each SAMPLE's
+    RNG on (seed, epoch, i, global row) via _mp_make_batch, independent of
+    worker assignment and of process sharding — so a resumed stream is
+    bit-identical to the uninterrupted one (the reference restores the
+    DataLoader RNG state on resume for the same effect)."""
     import collections
 
     def jobs():

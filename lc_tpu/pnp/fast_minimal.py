@@ -449,17 +449,7 @@ def epnp6_fast(cam_K: jax.Array, sub3d: jax.Array, sub2d: jax.Array,
     """Adapter: cam_K (B, 1, 3, 3) or (B, 3, 3); sub3d (B, K, 6, 3); sub2d
     (B, K, 6, 2) → (pose7 (B, K, 7), ok (B, K)) — drop-in for the epnp call
     in ransac_pnp's hypothesis stage."""
-    B, K = sub3d.shape[:2]
-    P = B * K
-    p3 = sub3d.reshape(P, 6, 3)
-    p2 = sub2d.reshape(P, 6, 2)
-    x = [p3[:, j, 0] for j in range(6)]
-    y = [p3[:, j, 1] for j in range(6)]
-    z = [p3[:, j, 2] for j in range(6)]
-    u = [p2[:, j, 0] for j in range(6)]
-    v = [p2[:, j, 1] for j in range(6)]
-    Km = cam_K.reshape(B, -1)[:, [0, 4, 2, 5]]      # fx, fy, cx, cy
-    Ke = jnp.repeat(Km, K, axis=0)
+    (B, K), x, y, z, u, v, Ke = _to_lanes(cam_K, sub3d, sub2d)
     pose, ok = epnp6_scalar(x, y, z, u, v, Ke[:, 0], Ke[:, 1], Ke[:, 2],
                             Ke[:, 3], **kw)
     return pose.reshape(B, K, 7), ok.reshape(B, K)
@@ -508,7 +498,7 @@ def dlt6_scalar(x, y, z, u, v, fx, fy, cx, cy):
         A[key] = val if key not in A else A[key] + val
 
     for j in range(S):
-        r1 = ru[j] + [0, 0, 0, 0] + w3[j]        # conceptual; assembled below
+        # row layout (conceptual): [ru[j], 0,0,0,0, w3[j]] — assembled below
         # u-row contributions
         for a_ in range(4):
             for b_ in range(a_, 4):
@@ -671,7 +661,7 @@ def _to_lanes(cam_K, sub3d, sub2d):
     z = [p3[:, j, 2] for j in range(6)]
     u = [p2[:, j, 0] for j in range(6)]
     v = [p2[:, j, 1] for j in range(6)]
-    Km = cam_K.reshape(B, -1)[:, [0, 4, 2, 5]]
+    Km = cam_K.reshape(B, -1)[:, [0, 4, 2, 5]]      # fx, fy, cx, cy
     Ke = jnp.repeat(Km, K, axis=0)
     return (B, K), x, y, z, u, v, Ke
 

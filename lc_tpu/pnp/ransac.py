@@ -359,9 +359,12 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
         e2 = jnp.where(valid, e2, 0.0)
         return jnp.sum(e2, axis=-1), (e < mult * thr[:, None]) & valid
 
-    pose = best_pose
-    score, cur_inl = msac_score(pose, 2.0)
-    if not local_opt:   # benchmark split: hypotheses + winner selection only
+    def finalize(pose):
+        """Support/validity at the exact threshold; a batch row where every
+        hypothesis degenerated can carry a non-finite pose — return a benign
+        identity pose with invalid=True instead (the reference's cv2 wrapper
+        returns a zero pose + invalid on solver failure,
+        cv2_solver.py:76-80)."""
         _, best_inl = msac_score(pose, 1.0)
         n_inl = jnp.sum(best_inl, axis=-1)
         finite = jnp.all(jnp.isfinite(pose), axis=-1)
@@ -369,6 +372,11 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
         return RansacResult(pose7=jnp.where(finite[..., None], pose, default),
                             invalid=(n_inl < 4) | ~finite, inliers=best_inl,
                             n_inliers=n_inl)
+
+    pose = best_pose
+    score, cur_inl = msac_score(pose, 2.0)
+    if not local_opt:   # benchmark split: hypotheses + winner selection only
+        return finalize(pose)
     # threshold-annealed iterative LO (Lebeda-style m·θ shrink): round 1 fits
     # on a 2×-threshold band — at high noise the final band captures only a
     # biased sliver of the good points (3 px band at 4 px noise ≈ 24% of them)
@@ -407,15 +415,4 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
         score = jnp.where(take_b, s_b, score)
         cur_inl = jnp.where(take_b[:, None], inl_b, cur_inl)
 
-    # final support/validity at the exact threshold; a batch row where every
-    # hypothesis degenerated can carry a non-finite pose — return a benign
-    # identity pose with invalid=True instead (the reference's cv2 wrapper
-    # returns a zero pose + invalid on solver failure, cv2_solver.py:76-80)
-    _, best_inl = msac_score(pose, 1.0)
-    n_inl = jnp.sum(best_inl, axis=-1)
-    finite = jnp.all(jnp.isfinite(pose), axis=-1)
-    default = jnp.zeros_like(pose).at[..., 0].set(1.0).at[..., 6].set(1.0)
-    pose = jnp.where(finite[..., None], pose, default)
-    invalid = (n_inl < 4) | ~finite
-    return RansacResult(pose7=pose, invalid=invalid, inliers=best_inl,
-                        n_inliers=n_inl)
+    return finalize(pose)

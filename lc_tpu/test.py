@@ -14,7 +14,6 @@ import jax
 
 from . import harness
 from .parallel.mesh import auto_mesh, is_primary, maybe_init_distributed
-from .utils.checkpoint import load_state
 from .utils.config import load_config
 from .utils.logging import setup_logger
 from .eval.evaluator import csv_from_results
@@ -86,8 +85,9 @@ def main(argv=None):
         variables = jax.tree.map(jnp.asarray, ported)
         logger.info('ported torch checkpoint %s (%s)', args.weight, net)
     else:
-        from .utils.checkpoint import peek_state_keys
-        keys = peek_state_keys(args.weight)
+        from .utils.checkpoint import read_checkpoint, restore_state, state_keys
+        blob = read_checkpoint(args.weight)   # one read: sniff + restore below
+        keys = state_keys(blob)
         if 'opt_state' in keys:  # full TrainState checkpoint from lc_tpu.train
             from .optim.factory import build_optimizer
             tx = build_optimizer(cfg.optimizer, cfg.scheduler, 1)
@@ -97,11 +97,11 @@ def main(argv=None):
                 model, tx, jax.random.PRNGKey(0),
                 jnp.zeros((1, in_h, in_w, 3)),
                 make_loss_config(cfg, 1, bit_cnt))
-            state, _ = load_state(args.weight, tmpl)
+            state, _ = restore_state(blob, tmpl)
             variables = {'params': state.params,
                          'batch_stats': state.batch_stats}
         elif 'params' in keys:  # plain {'params','batch_stats'} export
-            variables, _ = load_state(args.weight, variables)
+            variables, _ = restore_state(blob, variables)
         else:
             raise SystemExit(
                 f'unrecognized checkpoint payload in {args.weight}: '

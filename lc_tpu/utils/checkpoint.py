@@ -164,20 +164,48 @@ def _link_or_copy(src: str, dst: str):
         shutil.copy2(src, dst)
 
 
-def load_state(path: str, state_template):
+def read_checkpoint(path: str) -> dict:
+    """Read the pickled checkpoint envelope once. The 'state' entry stays raw
+    msgpack bytes — no tensor restore happens here."""
     with open(path, 'rb') as f:
-        blob = pickle.loads(f.read())
+        return pickle.loads(f.read())
+
+
+def restore_state(blob: dict, state_template):
     return serialization.from_bytes(state_template, blob['state']), blob['aux']
 
 
-def peek_state_keys(path: str) -> set:
-    """Top-level field names of the serialized payload WITHOUT needing a
+def load_state(path: str, state_template):
+    return restore_state(read_checkpoint(path), state_template)
+
+
+def state_keys(blob: dict) -> set:
+    """Top-level field names of the msgpack payload WITHOUT needing a
     template — lets callers sniff the checkpoint format (full TrainState has
     'opt_state'/'step'; a plain variables export has only
     'params'/'batch_stats') instead of try/except-probing with the wrong
     template, which turned corrupt checkpoints into confusing structure
-    errors."""
-    with open(path, 'rb') as f:
-        blob = pickle.loads(f.read())
-    raw = serialization.msgpack_restore(blob['state'])
-    return set(raw.keys()) if isinstance(raw, dict) else set()
+    errors. Values are skipped, not restored: sniffing a multi-GB checkpoint
+    costs only the map-header walk."""
+    import io
+
+    import msgpack
+    up = msgpack.Unpacker(io.BytesIO(blob['state']), raw=True,
+                          max_buffer_size=0)
+    try:
+        n = up.read_map_header()
+    except Exception:  # noqa: BLE001 — not a map / truncated payload
+        return set()
+    keys = set()
+    try:
+        for _ in range(n):
+            k = up.unpack()
+            keys.add(k.decode() if isinstance(k, bytes) else str(k))
+            up.skip()
+    except Exception:  # noqa: BLE001 — truncated payload: report what parsed
+        pass
+    return keys
+
+
+def peek_state_keys(path: str) -> set:
+    return state_keys(read_checkpoint(path))
