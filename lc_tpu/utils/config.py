@@ -75,10 +75,21 @@ def parse_opt_value(s: str):
 
 
 def parse_opts(pairs: list[str] | None) -> dict:
-    """['a.b=1', 'c=x,y'] -> {'a.b': 1, 'c': ['x', 'y']} (comma => list)."""
+    """['a.b=1', 'c=x,y', 'd=[64,64]'] -> {'a.b': 1, 'c': ['x', 'y'],
+    'd': [64, 64]} — bare comma => list, and bracketed values parse whole
+    (mmcv DictAction accepts both; the comma split alone shredded '[64,64]'
+    into ['[64', '64]')."""
     out: dict = {}
     for pair in pairs or []:
         key, _, val = pair.partition('=')
+        sval = val.strip()
+        if sval[:1] in '[(':
+            try:
+                parsed = ast.literal_eval(sval)
+                out[key] = list(parsed) if isinstance(parsed, tuple) else parsed
+                continue
+            except (ValueError, SyntaxError):
+                pass
         if ',' in val:
             out[key] = [parse_opt_value(v) for v in val.split(',')]
         else:

@@ -53,3 +53,18 @@ def test_opts_override():
                       ['train.num_epochs=2', 'optimizer.lr=0.001'])
     assert cfg.train.num_epochs == 2
     assert cfg.optimizer.lr == 0.001
+
+
+def test_opts_value_forms():
+    """mmcv DictAction accepts bare-comma lists AND bracketed literals; the
+    bracketed form must parse whole (a bare comma split shredded '[64,64]')."""
+    from lc_tpu.utils.config import parse_opts
+    out = parse_opts(['a=[64,64]', 'b=1,2', 'c=x,y', "d=['p.txt']",
+                      'e=(3,4)', 'f=true', 'g=0.5'])
+    assert out['a'] == [64, 64]
+    assert out['b'] == [1, 2]
+    assert out['c'] == ['x', 'y']
+    assert out['d'] == ['p.txt']
+    assert out['e'] == [3, 4]
+    assert out['f'] is True
+    assert out['g'] == 0.5
