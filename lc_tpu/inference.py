@@ -92,7 +92,13 @@ def quantile_mask_bisect(den_inv_std2d: jax.Array, quantile) -> jax.Array:
     hi_r = jnp.clip(lo_r + 1, 0, n - 1)
     frac = pos - lo_r.astype(w.dtype)
     v_lo = _order_stat_bisect(w, lo_r)
-    v_hi = _order_stat_bisect(w, hi_r)
+    # the adjacent rank needs no second 34-iteration bisection: values <= v_lo
+    # occupy sorted positions 0..cnt_le-1, so rank hi_r is either still inside
+    # that block (v_hi = v_lo, duplicates) or the smallest value strictly
+    # above it — two counting passes instead of another bisection.
+    cnt_le = jnp.sum(w <= v_lo[..., None], axis=-1)
+    next_up = jnp.min(jnp.where(w > v_lo[..., None], w, jnp.inf), axis=-1)
+    v_hi = jnp.where((hi_r == lo_r) | (cnt_le > hi_r), v_lo, next_up)
     thresh = v_lo * (1 - frac) + v_hi * frac
     return w >= thresh[..., None]
 

@@ -33,9 +33,6 @@ def nn_out_to_xyz(nn_out: jax.Array, noc_scale_xfd: jax.Array, *,
     binary). noc_scale_xfd: (B, 3). model_transform: (B, 4, 4) canonical-frame
     transform or None. Returns (B, ..., 3).
     """
-    lead = nn_out.ndim - 2  # broadcast dims between batch and channels
-    expand = (slice(None),) + (None,) * (lead - 0)
-
     def bshape(x):  # (B, 3) -> (B, 1, ..., 1, 3)
         return x.reshape(x.shape[:1] + (1,) * (nn_out.ndim - 2) + x.shape[1:])
 

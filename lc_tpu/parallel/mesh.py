@@ -64,6 +64,10 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = 'data'):
 
         def put(x):
             x = np.asarray(x)
+            assert len(x) % pc == 0, (
+                f'global batch of {len(x)} rows does not divide over '
+                f'{pc} processes — rows would be silently dropped; pad the '
+                f'batch (pad_to_multiple) or fix the batch size')
             per = len(x) // pc
             local = x[pi * per:(pi + 1) * per]
             return jax.make_array_from_process_local_data(sharding, local)

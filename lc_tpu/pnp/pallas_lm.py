@@ -240,10 +240,12 @@ def _lm_kernel(meta_ref, pose_ref, K_ref, X_ref, x2d_ref, w_ref,
 
     ran_out = jnp.logical_and(done < 0.5, it >= max_iter)
     invalid = jnp.logical_or(too_few, ran_out)
-    q_fin = jnp.where(invalid, q0, q)
-    t_fin = jnp.where(invalid, t0, t)
-    row = jnp.stack([q_fin[0], q_fin[1], q_fin[2], q_fin[3],
-                     t_fin[0], t_fin[1], t_fin[2], jnp.zeros(())])
+    # (q, t) is the last ACCEPTED iterate (steps only land on strict cost
+    # decrease; for too_few rows the loop never ran so it IS the init). The
+    # Ceres fallback-to-init for invalid rows happens in the wrapper, where
+    # callers can opt out (fallback_to_init=False) for budgeted polishes.
+    row = jnp.stack([q[0], q[1], q[2], q[3],
+                     t[0], t[1], t[2], jnp.zeros(())])
     out_pose_ref[b, :] = row
     out_stat_ref[b, :] = jnp.stack([
         jnp.where(invalid, 1.0, 0.0), cost, it, radius,
@@ -251,11 +253,12 @@ def _lm_kernel(meta_ref, pose_ref, K_ref, X_ref, x2d_ref, w_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    'max_iter', 'function_tolerance', 'interpret'))
+    'max_iter', 'function_tolerance', 'interpret', 'fallback_to_init'))
 def pallas_lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
                      pts2d: jax.Array, weights: jax.Array,
                      valid: jax.Array | None = None, *, max_iter: int = 50,
                      function_tolerance: float = 1e-6,
+                     fallback_to_init: bool = True,
                      interpret: bool = False) -> LMResult:
     """Drop-in fused-kernel variant of solver.lm_refine (diagonal weights)."""
     import jax.experimental.pallas as pl
@@ -324,7 +327,11 @@ def pallas_lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
         interpret=interpret,
     )(meta, pose_in, K_packed, X, x2, wT)
 
-    return LMResult(pose7=out_pose[:B, :7], invalid=out_stat[:B, 0] > 0.5,
+    pose = out_pose[:B, :7]
+    invalid = out_stat[:B, 0] > 0.5
+    if fallback_to_init:   # Ceres contract: invalid solves keep the init
+        pose = jnp.where(invalid[:, None], pose7_init.astype(pose.dtype), pose)
+    return LMResult(pose7=pose, invalid=invalid,
                     cost=out_stat[:B, 1],
                     n_iter=out_stat[:B, 2].astype(jnp.int32),
                     radius=out_stat[:B, 3])

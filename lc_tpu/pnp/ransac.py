@@ -222,7 +222,13 @@ def _planar_flip(pose7: jax.Array, pts3d: jax.Array, w: jax.Array
     ang = jnp.arctan2(s, jnp.sum(n_c * n2, axis=-1))
     aa = axis / jnp.maximum(s, 1e-9)[..., None] * ang[..., None]
     R2 = mm_small(axis_angle_to_matrix(aa), R)
-    return jnp.concatenate((matrix_to_quaternion(R2), t), axis=-1)
+    # the flip pivots the plane about its CAMERA-FRAME centroid cc, so t must
+    # move with it: R2 @ c + t2 = cc  (keeping t unchanged rotates the pattern
+    # about the camera origin instead — measured 27 px mean reprojection shift
+    # on a 5x5 planar grid with a 50 mm model-frame centroid vs 0.8 px for the
+    # centroid-anchored flip, i.e. a candidate MSAC could never accept)
+    t2 = cc - jnp.sum(R2 * c[..., None, :], axis=-1)
+    return jnp.concatenate((matrix_to_quaternion(R2), t2), axis=-1)
 
 
 def _reproj_err(pose_R, pose_t, cam_K, pts3d, pts2d):
@@ -318,15 +324,27 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     ok_h = jnp.concatenate([c[1] for c in cand_h], axis=1)
 
     from ..geom.rotations import quaternion_to_matrix
-    # winner selection scores every hypothesis on a strided ≤256-point subset:
-    # the consensus count is a statistic, not an exact quantity — the subset
+    # winner selection scores every hypothesis on a ≤256-point subset: the
+    # consensus count is a statistic, not an exact quantity — the subset
     # ranks hypotheses the same in distribution at 4× less HBM traffic over
     # the (B, 3K, N) error field, and the LO loop below re-derives the
-    # winner's support at full resolution anyway
-    sc_stride = max(1, N // 256)
-    p3_s = pts3d[:, ::sc_stride]
-    p2_s = pts2d[:, ::sc_stride]
-    v_s = valid[:, ::sc_stride]
+    # winner's support at full resolution anyway. The subset is drawn evenly
+    # from the VALID points (stable valid-first argsort + per-row even
+    # positions): a blind stride keeps padded/masked points, and an instance
+    # with few valid points (small occluded object under point_select='mask')
+    # could end up ranked on a handful of them while the rest of the subset
+    # is dead weight.
+    k_sc = min(256, N)
+    if k_sc < N:
+        order = jnp.argsort(jnp.logical_not(valid), axis=1, stable=True)
+        n_val = jnp.maximum(jnp.sum(valid, axis=1), 1)
+        pos = (jnp.arange(k_sc)[None, :] * n_val[:, None]) // k_sc   # (B, k)
+        sel = jnp.take_along_axis(order, pos, axis=1)
+        p3_s = jnp.take_along_axis(pts3d, sel[..., None], axis=1)
+        p2_s = jnp.take_along_axis(pts2d, sel[..., None], axis=1)
+        v_s = jnp.take_along_axis(valid, sel, axis=1)
+    else:
+        p3_s, p2_s, v_s = pts3d, pts2d, valid
     R_h = quaternion_to_matrix(pose_h[..., :4])
     err = _reproj_err(R_h, pose_h[..., 4:7], cam_K[:, None], p3_s[:, None],
                       p2_s[:, None])                          # (B, 3K, N/s)
@@ -406,11 +424,15 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
                 pose = jnp.where(take[:, None], cand, pose)
                 score = jnp.where(take, s_c, score)
                 cur_inl = jnp.where(take[:, None], inl_c, cur_inl)
-        # candidate B: short Gauss-Newton descent on the current support
+        # candidate B: short Gauss-Newton descent on the current support.
+        # fallback_to_init=False: the 10-iteration budget is a polish, not a
+        # Ceres solve — a problem still descending at the cap should ship its
+        # last accepted (strictly cost-decreasing) iterate, not be reverted to
+        # the start; the MSAC score below is the acceptance test.
         gn = lm_refine(pose, cam_K, pts3d, pts2d, jnp.ones_like(pts2d),
-                       valid=cur_inl, max_iter=10)
+                       valid=cur_inl, max_iter=10, fallback_to_init=False)
         s_b, inl_b = msac_score(gn.pose7, mult)
-        take_b = ~gn.invalid & (s_b < score)
+        take_b = jnp.all(jnp.isfinite(gn.pose7), -1) & (s_b < score)
         pose = jnp.where(take_b[:, None], gn.pose7, pose)
         score = jnp.where(take_b, s_b, score)
         cur_inl = jnp.where(take_b[:, None], inl_b, cur_inl)

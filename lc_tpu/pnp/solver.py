@@ -54,12 +54,20 @@ def lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
               max_iter: int = 50, function_tolerance: float = 1e-6,
               initial_radius: float = 1e4, min_relative_decrease: float = 1e-3,
               min_lm_diagonal: float = 1e-6, max_lm_diagonal: float = 1e32,
+              fallback_to_init: bool = True,
               ) -> LMResult:
     """Refine a batch of weighted PnP problems.
 
     pose7_init: (B, 7); cam_K: (B, 3, 3); pts3d: (B, N, 3); pts2d: (B, N, 2);
     weights: per-coordinate inverse variances, (B, N, 2) or (B, N); valid: (B, N) bool
     mask for padded points. All f32; linalg in f32 with SPD guards.
+
+    fallback_to_init=True is the Ceres/reference contract: NO_CONVERGENCE
+    (still running at max_iter) returns the INITIAL pose flagged invalid
+    (cer_solver.py:52). fallback_to_init=False returns the last ACCEPTED
+    iterate instead (every accepted LM step strictly decreased the cost), for
+    callers running a budgeted polish that scores the result themselves —
+    the invalid flag keeps its Ceres meaning either way.
     """
     dtype = jnp.result_type(pose7_init.dtype, jnp.float32)
     if weights.ndim == pts2d.ndim - 1:
@@ -169,7 +177,8 @@ def lm_refine(pose7_init: jax.Array, cam_K: jax.Array, pts3d: jax.Array,
     # Ceres validity: usable solution AND converged. Problems still running at
     # max_iter are NO_CONVERGENCE => invalid (ceres.cpp:134).
     invalid = out.failed | jnp.logical_not(out.done) | too_few
-    pose = jnp.where(invalid[:, None], pose7_init, out.pose)
+    keep_init = invalid if fallback_to_init else (out.failed | too_few)
+    pose = jnp.where(keep_init[:, None], pose7_init, out.pose)
     return LMResult(pose7=pose, invalid=invalid, cost=out.cost,
                     n_iter=out.n_iter, radius=out.radius)
 
@@ -193,7 +202,8 @@ def _on_tpu(*arrays) -> bool:
 
 
 def lm_refine_auto(pose7_init, cam_K, pts3d, pts2d, weights, valid=None, *,
-                   max_iter: int = 50, function_tolerance: float = 1e-6):
+                   max_iter: int = 50, function_tolerance: float = 1e-6,
+                   fallback_to_init: bool = True):
     """LM refine with backend dispatch: the fused Pallas kernel on TPU (each
     problem stops at its own convergence, everything VMEM-resident — measured
     ~650x faster than the lockstep XLA while_loop on hard 1024-point batches),
@@ -202,6 +212,8 @@ def lm_refine_auto(pose7_init, cam_K, pts3d, pts2d, weights, valid=None, *,
         from .pallas_lm import pallas_lm_refine
         return pallas_lm_refine(pose7_init, cam_K, pts3d, pts2d, weights,
                                 valid, max_iter=max_iter,
-                                function_tolerance=function_tolerance)
+                                function_tolerance=function_tolerance,
+                                fallback_to_init=fallback_to_init)
     return lm_refine(pose7_init, cam_K, pts3d, pts2d, weights, valid,
-                     max_iter=max_iter, function_tolerance=function_tolerance)
+                     max_iter=max_iter, function_tolerance=function_tolerance,
+                     fallback_to_init=fallback_to_init)

@@ -123,6 +123,38 @@ class TestRansac:
         dot = np.abs(np.sum(np.asarray(res.pose7[:, :4]) * pose[:, :4], axis=-1))
         assert np.all(dot > 0.9999)
 
+    def test_planar_flip_is_competitive_candidate(self):
+        """The planar-ambiguity flip must pivot the plane about its
+        CAMERA-FRAME centroid: the flipped pose reprojects the planar pattern
+        within ~a pixel of the original (that's what makes the two branches
+        ambiguous) while its rotation differs by tens of degrees. A flip that
+        keeps t while rotating R about the camera origin shifts the pattern
+        tens of pixels and can never win MSAC (regression: measured 27 px)."""
+        from scipy.spatial.transform import Rotation as sciR
+        from lc_tpu.pnp.ransac import _planar_flip, _reproj_err
+        from lc_tpu.geom.pose import pose7_to_RT, RT_to_pose7
+        g = np.stack(np.meshgrid(np.linspace(-30, 30, 5),
+                                 np.linspace(-20, 20, 5)), -1).reshape(-1, 2)
+        pts3d = np.concatenate([g, np.full((25, 1), 50.0)],
+                               -1).astype(np.float32)[None]
+        R = sciR.from_euler('xyz', [15, 8, 3],
+                            degrees=True).as_matrix().astype(np.float32)[None]
+        t = np.array([[10.0, -5.0, 600.0]], np.float32)
+        K = np.array([[[600.0, 0, 320], [0, 600, 240], [0, 0, 1]]], np.float32)
+        cam = np.einsum('bij,bnj->bni', R, pts3d) + t[:, None]
+        uvw = np.einsum('bij,bnj->bni', K, cam)
+        uv = (uvw[..., :2] / uvw[..., 2:]).astype(np.float32)
+        pose = RT_to_pose7(jnp.asarray(R), jnp.asarray(t))
+        flip = _planar_flip(pose, jnp.asarray(pts3d),
+                            jnp.ones((1, 25), jnp.float32))
+        Rf, tf = pose7_to_RT(flip)
+        err = _reproj_err(Rf, tf, jnp.asarray(K), jnp.asarray(pts3d),
+                          jnp.asarray(uv))
+        assert float(jnp.mean(err)) < 1.5, float(jnp.mean(err))
+        cos = 0.5 * (np.trace(np.asarray(Rf)[0].T @ R[0]) - 1.0)
+        ang = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+        assert ang > 10.0, ang   # genuinely the other ambiguity branch
+
     def test_inlier_mask_excludes_outliers(self):
         pose, Ks, pts3d, uv = make_problem(batch=1, n_pts=64, seed=5)
         corrupted = uv.copy()
