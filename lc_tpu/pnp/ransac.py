@@ -336,10 +336,15 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     # is dead weight.
     k_sc = min(256, N)
     if k_sc < N:
-        order = jnp.argsort(jnp.logical_not(valid), axis=1, stable=True)
-        n_val = jnp.maximum(jnp.sum(valid, axis=1), 1)
-        pos = (jnp.arange(k_sc)[None, :] * n_val[:, None]) // k_sc   # (B, k)
-        sel = jnp.take_along_axis(order, pos, axis=1)
+        # sort-free rank selection (TPU sort over (B, N) is the expensive op
+        # everywhere in this file): the j-th target is the (tgt_j+1)-th valid
+        # point, found by counting how many prefix-sums fall below its rank —
+        # one cumsum + a (B, k, N) compare-reduce, all VPU elementwise.
+        cum = jnp.cumsum(valid.astype(jnp.int32), axis=1)          # (B, N)
+        n_val = jnp.maximum(cum[:, -1], 1)
+        tgt = (jnp.arange(k_sc)[None, :] * n_val[:, None]) // k_sc + 1
+        sel = jnp.sum(cum[:, None, :] < tgt[..., None], axis=-1)   # (B, k)
+        sel = jnp.minimum(sel, N - 1)           # all-invalid row: clamp
         p3_s = jnp.take_along_axis(pts3d, sel[..., None], axis=1)
         p2_s = jnp.take_along_axis(pts2d, sel[..., None], axis=1)
         v_s = jnp.take_along_axis(valid, sel, axis=1)
