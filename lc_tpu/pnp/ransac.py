@@ -329,11 +329,10 @@ def ransac_pnp(cam_K: jax.Array, pts3d: jax.Array, pts2d: jax.Array,
     # ranks hypotheses the same in distribution at 4× less HBM traffic over
     # the (B, 3K, N) error field, and the LO loop below re-derives the
     # winner's support at full resolution anyway. The subset is drawn evenly
-    # from the VALID points (stable valid-first argsort + per-row even
-    # positions): a blind stride keeps padded/masked points, and an instance
-    # with few valid points (small occluded object under point_select='mask')
-    # could end up ranked on a handful of them while the rest of the subset
-    # is dead weight.
+    # from the VALID points (rank selection below): a blind stride keeps
+    # padded/masked points, and an instance with few valid points (small
+    # occluded object under point_select='mask') could end up ranked on a
+    # handful of them while the rest of the subset is dead weight.
     k_sc = min(256, N)
     if k_sc < N:
         # sort-free rank selection (TPU sort over (B, N) is the expensive op
