@@ -79,7 +79,19 @@ def _platform_hint() -> str:
         cfg = getattr(_jax.config, "jax_platforms", None)
     except Exception:  # noqa: BLE001
         cfg = None
-    return (cfg or "").strip().lower()
+    if cfg:
+        return str(cfg).strip().lower()
+    # standard Cloud TPU hosts select the backend by PLUGIN DISCOVERY, not an
+    # explicit JAX_PLATFORMS — find_spec is a metadata lookup that initializes
+    # nothing, and a host with libtpu installed is there to run TPU programs
+    # (whose minutes-long compiles are exactly what the cache is for)
+    import importlib.util as _ilu
+    try:
+        if _ilu.find_spec("libtpu") is not None:
+            return "tpu"
+    except Exception:  # noqa: BLE001
+        pass
+    return ""
 
 
 _hint = _platform_hint()

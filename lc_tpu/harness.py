@@ -74,6 +74,17 @@ def make_datasets(cfg, train: bool = True, seed: int = 0):
             if k not in d1_cfg:
                 d1_cfg[k] = v
         b1 = int(batch * cfg.train_dataset_1.ratio)
+        pc = proc.get('process_count', 1)
+        if pc > 1 and (b1 % pc or (batch - b1) % pc):
+            # each sub-stream is carved into equal per-process slices (the
+            # concatenated local rows must be exactly this process's 1/pc of
+            # the global mixed batch), so BOTH sub-batches must divide the
+            # process count — stricter than the global batch_size check
+            raise ValueError(
+                f'ratio-mixed sharded loading: sub-batches {b1} and '
+                f'{batch - b1} (batch_size {batch} × ratio '
+                f'{cfg.train_dataset_1.ratio}) must each be divisible by '
+                f'{pc} processes — adjust batch_size or ratio')
         ds1 = BOPDataset(d1_cfg, cfg, train=True)
         ds0 = BOPDataset(cfg.train_dataset, cfg, train=True)
         nw = max(cfg.dataloader.get('num_workers', 4) // 2, 1)

@@ -190,7 +190,12 @@ def state_keys(blob: dict) -> set:
     import io
 
     import msgpack
-    up = msgpack.Unpacker(io.BytesIO(blob['state']), raw=True,
+    state = blob.get('state') if isinstance(blob, dict) else None
+    if not isinstance(state, (bytes, bytearray)):
+        # not the lc_tpu envelope at all (foreign pickle): no keys — callers
+        # report "unrecognized checkpoint payload" instead of a bare KeyError
+        return set()
+    up = msgpack.Unpacker(io.BytesIO(state), raw=True,
                           max_buffer_size=0)
     try:
         n = up.read_map_header()
@@ -205,7 +210,3 @@ def state_keys(blob: dict) -> set:
     except Exception:  # noqa: BLE001 — truncated payload: report what parsed
         pass
     return keys
-
-
-def peek_state_keys(path: str) -> set:
-    return state_keys(read_checkpoint(path))

@@ -84,12 +84,18 @@ def parse_opts(pairs: list[str] | None) -> dict:
         key, _, val = pair.partition('=')
         sval = val.strip()
         if sval[:1] in '[(':
+            # a value that LOOKS bracketed but doesn't parse is a typo
+            # (e.g. '[64,64' from a shell slip) — falling through to the
+            # comma split would shred it into ['[64', '64'] and train on
+            # silently wrong values; reject it instead
             try:
                 parsed = ast.literal_eval(sval)
-                out[key] = list(parsed) if isinstance(parsed, tuple) else parsed
-                continue
-            except (ValueError, SyntaxError):
-                pass
+            except (ValueError, SyntaxError) as e:
+                raise ValueError(
+                    f'--opts {key}: malformed bracketed value {sval!r}'
+                ) from e
+            out[key] = list(parsed) if isinstance(parsed, tuple) else parsed
+            continue
         if ',' in val:
             out[key] = [parse_opt_value(v) for v in val.split(',')]
         else:

@@ -121,3 +121,7 @@ def test_checkpoint_format_sniffing(tmp_path):
     # use a bare scalar)
     assert state_keys({'state': serialization.to_bytes(np.float32(1.0))}) \
         == set()
+    # a foreign pickle that is not the lc_tpu envelope at all: no keys (the
+    # CLI then reports 'unrecognized checkpoint payload', not a KeyError)
+    assert state_keys({'weights': b'\x00'}) == set()
+    assert state_keys({'state': {'nested': 1}}) == set()

@@ -68,3 +68,8 @@ def test_opts_value_forms():
     assert out['e'] == [3, 4]
     assert out['f'] is True
     assert out['g'] == 0.5
+    # a malformed bracketed literal (shell typo) must be rejected, not
+    # silently shredded by the comma fallback into ['[64', '64']
+    import pytest
+    with pytest.raises(ValueError, match='malformed bracketed'):
+        parse_opts(['a=[64,64'])

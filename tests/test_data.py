@@ -378,6 +378,28 @@ class TestShardedLoading:
         finally:
             lg.close(), l0.close(), l1.close()
 
+    def test_ratio_mix_shard_divisibility_rejected(self, syn_root,
+                                                   monkeypatch):
+        """Ratio-mixed sharding carves EACH sub-stream into equal per-process
+        slices, so both sub-batches must divide process_count — a stricter
+        condition than the global batch check; it must fail with an
+        actionable error, not a bare Loader assert (or silent row drop)."""
+        import jax
+
+        from lc_tpu import harness
+        from lc_tpu.utils.config import Config
+        cfg_ds, cfg_g = make_cfgs(syn_root)
+        cfg = Config(dict(cfg_g))
+        cfg['train_dataset'] = Config(dict(cfg_ds))
+        d1 = dict(cfg_ds)
+        d1['ratio'] = 0.3125            # 32 * 0.3125 = 10: not divisible by 4
+        cfg['train_dataset_1'] = Config(d1)
+        cfg['dataloader'] = Config({'batch_size': 32})
+        monkeypatch.setattr(jax, 'process_count', lambda: 4)
+        monkeypatch.setattr(jax, 'process_index', lambda: 0)
+        with pytest.raises(ValueError, match='divisible by 4 processes'):
+            harness.make_datasets(cfg, train=True)
+
 
 class TestMPLoader:
     def test_iter_endless_same_epoch_same_stream(self, syn_root):

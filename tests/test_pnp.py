@@ -347,6 +347,84 @@ class TestFastMinimal:
         assert np.median(ef) < 0.01
         assert np.percentile(ef, 99) <= np.percentile(eg, 99) * 1.05 + 0.1
 
+    def _planar_problems(self, noise):
+        """6-point samples drawn ON a random plane per hypothesis."""
+        rng = np.random.default_rng(3)
+        B, Kh = 8, 50
+        Kc = np.broadcast_to(K, (B, 3, 3)).copy()
+        Rs = sciR.random(B * Kh, random_state=4).as_matrix().astype(
+            np.float32).reshape(B, Kh, 3, 3)
+        ts = np.concatenate((rng.uniform(-5, 5, (B, Kh, 2)),
+                             rng.uniform(400, 600, (B, Kh, 1))),
+                            -1).astype(np.float32)
+        frames = sciR.random(B * Kh, random_state=5).as_matrix().astype(
+            np.float32).reshape(B, Kh, 3, 3)
+        ab = rng.uniform(-50, 50, (B, Kh, 6, 2)).astype(np.float32)
+        P3 = (ab[..., :1] * frames[:, :, None, :, 0]
+              + ab[..., 1:2] * frames[:, :, None, :, 1])
+        cam = np.einsum('bkij,bknj->bkni', Rs, P3) + ts[:, :, None]
+        uvw = np.einsum('bij,bknj->bkni', Kc, cam)
+        uv = (uvw[..., :2] / uvw[..., 2:3]
+              + rng.normal(0, noise, uvw[..., :2].shape)).astype(np.float32)
+        return Kc, P3, uv, ts
+
+    def _pin(self, pg, okg, pf, okf):
+        """Layout-parity assertion: ok flags agree on the bulk, and poses of
+        jointly-valid samples differ only by float-ordering noise (the same
+        median/p90 bounds as the epnp pin; near-degenerate samples may take
+        different, equally valid branches)."""
+        okg, okf = np.asarray(okg), np.asarray(okf)
+        assert np.mean(okg != okf) < 0.01, np.mean(okg != okf)
+        both = okg & okf
+        assert both.mean() > 0.7   # the estimators legitimately reject some
+        # noisy minimal samples (cheirality/det gates) — just not most of them
+        dt = np.linalg.norm(np.asarray(pg)[..., 4:] - np.asarray(pf)[..., 4:],
+                            axis=-1)[both]
+        assert np.median(dt) < 0.1, np.median(dt)
+        assert np.percentile(dt, 90) < 5.0, np.percentile(dt, 90)
+
+    def test_dlt_matches_generic(self):
+        # dlt6_fast is a PRODUCTION hypothesis estimator on TPU (the generic
+        # dlt_pnp runs only on the CPU branch) — pin the scalar-struct layout
+        # to the tensor form the parity suite exercises
+        from lc_tpu.pnp.fast_minimal import dlt6_fast
+        from lc_tpu.pnp.ransac import dlt_pnp
+        Kc, P3, uv, ts = self._problems(noise=1.0)
+        pg, okg = dlt_pnp(jnp.asarray(Kc)[:, None], jnp.asarray(P3),
+                          jnp.asarray(uv))
+        pf, okf = dlt6_fast(jnp.asarray(Kc), jnp.asarray(P3), jnp.asarray(uv))
+        self._pin(pg, okg, pf, okf)
+
+    def test_planar_matches_generic(self):
+        from lc_tpu.pnp.fast_minimal import planar6_fast
+        from lc_tpu.pnp.ransac import planar_pnp
+        Kc, P3, uv, ts = self._planar_problems(noise=1.0)
+        pg, okg = planar_pnp(jnp.asarray(Kc)[:, None], jnp.asarray(P3),
+                             jnp.asarray(uv), pca_sweeps=4)
+        pf, okf = planar6_fast(jnp.asarray(Kc), jnp.asarray(P3),
+                               jnp.asarray(uv), pca_sweeps=4)
+        self._pin(pg, okg, pf, okf)
+
+    def test_tpu_dispatch_branch(self, monkeypatch):
+        # force the TPU estimator branch of ransac_pnp on this CPU backend:
+        # the dispatch glue (fast-solver calls, candidate concat order, ok
+        # masks) is otherwise never executed by the CPU-forced suite
+        import lc_tpu.pnp.ransac as rmod
+        monkeypatch.setattr(rmod.jax, 'default_backend', lambda: 'tpu')
+        pose, Ks, pts3d, uv = make_problem(n_pts=48, batch=2, seed=11)
+        res = rmod.ransac_pnp(jnp.asarray(Ks), jnp.asarray(pts3d),
+                              jnp.asarray(uv), jax.random.PRNGKey(0),
+                              num_hypotheses=8, local_opt=False)
+        assert not np.asarray(res.invalid).any()
+        terr = np.linalg.norm(np.asarray(res.pose7)[:, 4:] - pose[:, 4:],
+                              axis=-1)
+        q = np.asarray(res.pose7)[:, :4]
+        dot = np.abs(np.sum(q * pose[:, :4], axis=-1))
+        # noiseless, outlier-free: the best minimal-sample solution is the
+        # true pose up to cheap-mode solver precision
+        assert terr.max() < 5.0, terr
+        assert dot.min() > 0.999, dot
+
 
 class TestSmallEigh:
     """The unrolled Jacobi eigh + inverse subspace iteration that replace
