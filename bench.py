@@ -108,7 +108,7 @@ def _bench_scene(out_c: float):
     return frames, affines, K, gt
 
 
-def _build_inference(blend_field: bool):
+def _build_inference(blend_field: bool, int8: bool = False):
     import jax
     import jax.numpy as jnp
     from lc_tpu.models import build_model
@@ -147,13 +147,22 @@ def _build_inference(blend_field: bool):
     # carry: a ~0 scalar derived from the previous batch's solved poses, mixed
     # into the next batch's frames — forces batch i+1 to data-depend on batch i
     # so the chain timing is honest (see _chained_rate)
+    if int8:
+        from lc_tpu.models.quant import quantized_int8
+        def apply_fn(v, x):
+            with quantized_int8():
+                return model.apply(v, x, train=False)
+    else:
+        def apply_fn(v, x):
+            return model.apply(v, x, train=False)
+
     @jax.jit
     def step_fn(key, carry):
         f = frames + carry
         crops = batched_separable_warp(f, affines, (256, 256), 'bilinear',
                                        compute_dtype=jnp.bfloat16)
         x = (crops / 255.0 - mean) / std
-        out = model.apply(variables, x, train=False)
+        out = apply_fn(variables, x)
         out = dict(out)
         if blend_field:
             out['xyz_noc'] = noc_field + 1e-3 * out['xyz_noc']
@@ -173,13 +182,15 @@ def _build_inference(blend_field: bool):
     return step, fetch, (jax.random.PRNGKey(0), jnp.float32(0))
 
 
-def bench_inference(blend_field: bool):
-    step, fetch, x0 = _build_inference(blend_field)
+def bench_inference(blend_field: bool, int8: bool = False):
+    step, fetch, x0 = _build_inference(blend_field, int8=int8)
     dt = _chained_rate(step, fetch, x0)
     # the benched pipeline is unsharded (plain jit on one device), so the
     # single-device rate IS the per-chip rate regardless of visible chips
     v = BATCH / dt
     tag = 'pose-consistent field' if blend_field else 'raw untrained CNN output'
+    if int8:
+        tag += ', int8 CNN'
     return {
         "metric": f"crops/sec/chip end-to-end steady-state "
                   f"(crop->CNN->PnP, {tag})",
@@ -411,11 +422,13 @@ def bench_ref():
     }
 
 
-def bench_zebra():
+def bench_zebra(int8: bool = False):
     """The second model family end-to-end: Zebra-DeepLabV3 (ASPP, OS8) at 256²
     input / 128² binary-code output, Gray-code decode, quantile_in_mask select,
     RANSAC + weighted LM — the zlmo/zycbv-shaped inference path. Raw untrained
-    outputs (no pose-consistent blend fits the bit decode)."""
+    outputs (no pose-consistent blend fits the bit decode). int8=True runs the
+    CNN under models.quant (the zebra forward is 80% bf16 MFU — the int8 MXU
+    path is its only remaining throughput lever, BASELINE.md)."""
     import jax
     import jax.numpy as jnp
     from lc_tpu.models import build_model
@@ -432,13 +445,22 @@ def bench_zebra():
     mean = jnp.asarray(IMAGENET_MEAN)
     std = jnp.asarray(IMAGENET_STD)
 
+    if int8:
+        from lc_tpu.models.quant import quantized_int8
+        def apply_fn(v, x):
+            with quantized_int8():
+                return model.apply(v, x, train=False)
+    else:
+        def apply_fn(v, x):
+            return model.apply(v, x, train=False)
+
     @jax.jit
     def step_fn(key, carry):
         f = frames + carry
         crops = batched_separable_warp(f, affines, (256, 256), 'bilinear',
                                        compute_dtype=jnp.bfloat16)
         x = (crops / 255.0 - mean) / std
-        out = model.apply(variables, x, train=False)
+        out = apply_fn(variables, x)
         states = solve_pnp_dense(out, gt, key, bit_cnt=bit_cnt, sample=2,
                                  point_select='quantile_in_mask', quantile=0.2,
                                  solvers=('weighted',))
@@ -453,7 +475,8 @@ def bench_zebra():
     v = BATCH / dt
     return {
         "metric": "zebra crops/sec/chip end-to-end (crop->DeepLabV3 128² "
-                  "bits->Gray decode->PnP, raw untrained output)",
+                  "bits->Gray decode->PnP, raw untrained output"
+                  + (", int8 CNN)" if int8 else ")"),
         "value": round(v, 2),
         "unit": "crops/s/chip",
         "vs_baseline": round(v / REF_HOST_RANSAC_CROPS_PER_SEC, 3),
@@ -796,7 +819,7 @@ def main():
                     choices=['headline', 'infer_raw', 'train', 'mfu', 'ref',
                              'trace', 'zebra', 'stages', 'zebra_stages',
                              'zebra_mfu', 'zebra_train', 'train_trace',
-                             'sparse', 'mfu_stages'])
+                             'sparse', 'mfu_stages', 'int8', 'zebra_int8'])
     ap.add_argument('--batch', type=int, default=None,
                     help='override the batch size (default 32, the reference '
                          "config's; larger batches amortize fixed per-batch "
@@ -819,6 +842,10 @@ def main():
         out = bench_trace()
     elif mode == 'zebra':
         out = bench_zebra()
+    elif mode == 'int8':
+        out = bench_inference(blend_field=True, int8=True)
+    elif mode == 'zebra_int8':
+        out = bench_zebra(int8=True)
     elif mode == 'sparse':
         out = bench_sparse()
     elif mode == 'mfu_stages':

@@ -184,10 +184,20 @@ def get_evaluator(cfg) -> Evaluator:
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_apply(model):
-    """One jitted eval-forward per model (flax Modules hash by definition), so
-    repeated run_test calls — e.g. in-training eval every test_every steps —
-    reuse the compiled program instead of re-tracing a fresh lambda."""
+def _jitted_apply(model, int8: bool = False):
+    """One jitted eval-forward per (model, precision) — flax Modules hash by
+    definition, so repeated run_test calls (e.g. in-training eval every
+    test_every steps) reuse the compiled program instead of re-tracing a fresh
+    lambda. int8=True traces the forward under models.quant.quantized_int8
+    (interception is a trace-time effect, so it must be part of the jit cache
+    key — hence an argument here, not a context around the call site)."""
+    if int8:
+        from .models.quant import quantized_int8
+
+        def apply_q(v, x):
+            with quantized_int8():
+                return model.apply(v, x, train=False)
+        return jax.jit(apply_q)
     return jax.jit(lambda v, x: model.apply(v, x, train=False))
 
 
@@ -210,7 +220,10 @@ def run_test(cfg, model, variables, loader, dataset, evaluator,
     if mesh is not None:
         variables = replicate(mesh, variables)
 
-    apply_fn = _jitted_apply(model)
+    # int8_inference: true (or --opts int8_inference=true) runs the CNN with
+    # int8 convolutions on the MXU's 2x-rate path (models/quant.py); decode,
+    # RANSAC and LM are unchanged. No reference counterpart (f32 CUDA there).
+    apply_fn = _jitted_apply(model, bool(cfg.get('int8_inference', False)))
     results: dict[str, list] = {}
     total_time = 0.0
     n_insts = 0
