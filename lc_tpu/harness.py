@@ -184,13 +184,15 @@ def get_evaluator(cfg) -> Evaluator:
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_apply(model, int8: bool = False):
+def _jitted_apply(model, int8: bool):
     """One jitted eval-forward per (model, precision) — flax Modules hash by
     definition, so repeated run_test calls (e.g. in-training eval every
     test_every steps) reuse the compiled program instead of re-tracing a fresh
     lambda. int8=True traces the forward under models.quant.quantized_int8
     (interception is a trace-time effect, so it must be part of the jit cache
-    key — hence an argument here, not a context around the call site)."""
+    key — hence an argument here, not a context around the call site).
+    int8 is required-positional so every caller spells it and (model,) /
+    (model, False) can't occupy two lru_cache slots with the same program."""
     if int8:
         from .models.quant import quantized_int8
 

@@ -10,7 +10,7 @@ checkpoint: a `flax.linen.intercept_methods` context rewrites every
 `nn.Conv` / `Deconv2x` application into
 
     w_q  = round(w / s_w)        per-OUTPUT-CHANNEL symmetric int8 weights
-    x_q  = round(x / s_x)        per-tensor dynamic symmetric int8 activations
+    x_q  = round(x / s_x)        per-SAMPLE dynamic symmetric int8 activations
     y    = conv(x_q, w_q) -> int32 accumulate on the MXU
     out  = y * (s_x * s_w) + bias
 
@@ -18,7 +18,10 @@ so the f32 checkpoint stays the single source of truth (weights quantize
 inside the jitted forward — a cheap elementwise pass XLA overlaps with
 the convs) and turning the mode on is one context manager around
 `model.apply`. Dynamic activation scales need no calibration data: the
-scale is `max|x|/127` of the live tensor, one VPU reduction per conv.
+scale is `max|x|/127` of the live tensor per SAMPLE (reduced over H,W,C
+with the batch axis kept), one VPU reduction per conv — so eval results
+are independent of batch composition, exactly like the per-sample f32
+reference path.
 
 This has no reference counterpart (the reference runs f32 CUDA end to
 end, reference test.py:164); it is gated off by default and enabled by
@@ -62,18 +65,28 @@ def _canon_tuple(v, n=2):
     return tuple(v)
 
 
-def quantize_tensor(x: jax.Array, axes=None) -> tuple[jax.Array, jax.Array]:
+def quantize_tensor(x: jax.Array, axes=None,
+                    keepdims: bool = False) -> tuple[jax.Array, jax.Array]:
     """Symmetric int8 quantization. Returns (q (int8), scale (f32)).
 
     axes=None: one per-tensor scale. axes=(0,1,2): per-channel over the last
-    dim (conv kernels). Scale = max|x|/127, floored to avoid 0/0 on dead
-    channels."""
+    dim (conv kernels). axes=(1,2,3), keepdims=True: per-SAMPLE over an NHWC
+    activation — each batch row gets its own scale, so a sample's quantized
+    output is independent of its batchmates (matching the deterministic
+    per-sample f32 reference path; a partial final eval batch scores
+    identically to the same images in a full batch). Scale = max|x|/127,
+    floored to avoid 0/0 on dead channels."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf)) if axes is None else \
-        jnp.max(jnp.abs(xf), axis=axes)
+        jnp.max(jnp.abs(xf), axis=axes, keepdims=keepdims)
     scale = jnp.maximum(amax, 1e-12) / 127.0
     q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def _quantize_act(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-sample dynamic activation quantization (NHWC: reduce H,W,C only)."""
+    return quantize_tensor(x, axes=tuple(range(1, x.ndim)), keepdims=True)
 
 
 def _int8_conv(m: nn.Conv, x: jax.Array) -> jax.Array:
@@ -81,7 +94,7 @@ def _int8_conv(m: nn.Conv, x: jax.Array) -> jax.Array:
     params = m.variables['params']
     w = params['kernel']                                  # (kh, kw, cin, cout)
     wq, ws = quantize_tensor(w, axes=(0, 1, 2))           # ws (cout,)
-    xq, xs = quantize_tensor(x)
+    xq, xs = _quantize_act(x)                             # xs (B, 1, 1, 1)
     y = jax.lax.conv_general_dilated(
         xq, wq,
         window_strides=_canon_tuple(m.strides),
@@ -101,7 +114,7 @@ def _int8_deconv(m: Deconv2x, x: jax.Array) -> jax.Array:
     representable, so dequantization is unchanged)."""
     w = m.variables['params']['kernel']                   # (3, 3, cin, cout)
     wq, ws = quantize_tensor(w, axes=(0, 1, 2))
-    xq, xs = quantize_tensor(x)
+    xq, xs = _quantize_act(x)                             # xs (B, 1, 1, 1)
     y = jax.lax.conv_general_dilated(
         xq, wq[::-1, ::-1],
         window_strides=(1, 1), padding=((1, 2), (1, 2)),
@@ -112,12 +125,24 @@ def _int8_deconv(m: Deconv2x, x: jax.Array) -> jax.Array:
     return (y.astype(jnp.float32) * (xs * ws)).astype(COMPUTE_DTYPE)
 
 
+def _is_default_dilation(v) -> bool:
+    if v is None:
+        return True
+    return all(e == 1 for e in _canon_tuple(v))
+
+
 def _make_interceptor(skip: Callable[[nn.Module], bool] | None):
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
         if (context.method_name == '__call__' and not m.is_initializing()
                 and (skip is None or not skip(m))):
-            if type(m) is nn.Conv and m.feature_group_count == 1:
+            # _int8_conv reproduces only the geometry the shipped models use:
+            # no feature groups, no input dilation, no kernel mask. Anything
+            # else falls through to the f32/bf16 path rather than quantizing
+            # with silently-wrong geometry.
+            if (type(m) is nn.Conv and m.feature_group_count == 1
+                    and m.mask is None
+                    and _is_default_dilation(m.input_dilation)):
                 return _int8_conv(m, *args, **kwargs)
             if type(m) is Deconv2x:
                 return _int8_deconv(m, *args, **kwargs)

@@ -146,6 +146,58 @@ class TestPlumbingExactness:
             got = m.apply(v, x)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
+    def test_input_dilated_and_masked_conv_left_alone(self):
+        """_int8_conv ignores nn.Conv's input_dilation and mask, so the
+        interceptor must fall through for convs that set either — quantizing
+        them would be silently wrong geometry. Output must equal the
+        unintercepted forward exactly."""
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 4)).astype(np.float32))
+        for kw in (dict(input_dilation=(2, 2)),
+                   dict(mask=jnp.asarray(
+                       rng.integers(0, 2, (3, 3, 4, 6)).astype(np.float32)))):
+            m = nn.Conv(6, (3, 3), padding=1, dtype=jnp.float32, **kw)
+            v = m.init(jax.random.PRNGKey(0), x)
+            ref = m.apply(v, x)
+            with Q.quantized_int8():
+                got = m.apply(v, x)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref)), kw
+
+    def test_per_sample_activation_scale_batch_independence(self):
+        """Activation scales are per-sample (reduce H,W,C, keep batch), so a
+        sample's quantized conv output must be IDENTICAL whether it is alone
+        in the batch or next to a much larger-magnitude batchmate (a
+        per-tensor scale would re-grid the small sample by the big one's max).
+        int8 accumulation is exact, dequant is per-sample deterministic —
+        bit-equality, independent of the conv's compiled batch size."""
+        rng = np.random.default_rng(9)
+        small = rng.normal(0, 1, (1, 8, 8, 4)).astype(np.float32)
+        big = 1000.0 * rng.normal(0, 1, (1, 8, 8, 4)).astype(np.float32)
+        m = nn.Conv(6, (3, 3), padding=1, dtype=jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(small))
+        with Q.quantized_int8():
+            alone = m.apply(v, jnp.asarray(small))
+            paired = m.apply(v, jnp.asarray(np.concatenate((small, big), 0)))
+        np.testing.assert_array_equal(np.asarray(alone[0]),
+                                      np.asarray(paired[0]))
+
+    def test_per_sample_activation_scale_batch_independence_deconv(self):
+        L.set_compute_dtype(jnp.float32)
+        try:
+            rng = np.random.default_rng(10)
+            small = rng.normal(0, 1, (1, 8, 8, 4)).astype(np.float32)
+            big = 1000.0 * rng.normal(0, 1, (1, 8, 8, 4)).astype(np.float32)
+            m = L.Deconv2x(6)
+            v = m.init(jax.random.PRNGKey(0), jnp.asarray(small))
+            with Q.quantized_int8():
+                alone = m.apply(v, jnp.asarray(small))
+                paired = m.apply(v, jnp.asarray(np.concatenate((small, big),
+                                                               0)))
+            np.testing.assert_array_equal(np.asarray(alone[0]),
+                                          np.asarray(paired[0]))
+        finally:
+            L.set_compute_dtype(jnp.bfloat16)
+
 
 def _model_outputs(model, variables, x):
     out = model.apply(variables, x, train=False)
@@ -280,10 +332,10 @@ class TestHarnessWiring:
         x = jnp.asarray(rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32))
         variables = _he_reinit(model.init(jax.random.PRNGKey(0), x,
                                           train=False))
-        f_plain = _jitted_apply(model)
+        f_plain = _jitted_apply(model, False)
         f_int8 = _jitted_apply(model, True)
         assert f_plain is not f_int8
-        assert _jitted_apply(model) is f_plain           # cache hit
+        assert _jitted_apply(model, False) is f_plain    # cache hit
         assert _jitted_apply(model, True) is f_int8
         a = f_plain(variables, x)
         b = f_int8(variables, x)
