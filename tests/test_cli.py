@@ -10,6 +10,8 @@ import yaml
 
 from lc_tpu.data import synthetic
 
+pytestmark = pytest.mark.slow  # drives the real train/test CLIs end to end
+
 
 @pytest.fixture(scope='module')
 def cli_env(tmp_path_factory):

@@ -21,6 +21,8 @@ from lc_tpu.data import synthetic
 from lc_tpu.data.pipeline import device_preprocess
 from lc_tpu.train import build_training, eval_variables
 
+pytestmark = pytest.mark.slow  # 150-step training convergence runs per family
+
 
 def _run(cfg, n_steps, err_key='add'):
     comps = build_training(cfg, seed=0)

@@ -11,6 +11,10 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow  # spawns real second OS processes (jax.distributed)
+
 # shared prologue: force 4 virtual CPU devices, join the 2-process cluster
 PRELUDE = r'''
 import os, sys

@@ -26,6 +26,8 @@ from scipy.spatial.transform import Rotation as sciR
 from lc_tpu.pnp.ransac import ransac_pnp
 from lc_tpu.pnp.solver import lm_refine_auto as lm_refine
 
+pytestmark = pytest.mark.slow  # the 216-problem cv2.solvePnPRansac head-to-head study
+
 K = np.array([[572.4114, 0.0, 325.2611],
               [0.0, 573.57043, 242.04899],
               [0.0, 0.0, 1.0]], np.float32)

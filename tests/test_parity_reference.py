@@ -760,6 +760,8 @@ class _Cfg(dict):
     __getattr__ = dict.__getitem__
 
 
+@pytest.mark.slow  # executes the reference Loss_fn across 6 ramp steps × 3
+# variants, values AND grads — minutes of torch+jax compile on a 1-core host
 class TestLossOrchestration:
     rng = np.random.default_rng(31)
     NZ_STEP = 10

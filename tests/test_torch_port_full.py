@@ -10,6 +10,8 @@ from lc_tpu.models import build_model
 from lc_tpu.models.torch_port import (port_cdpn_checkpoint,
                                       port_zebra_checkpoint, graft)
 
+pytestmark = pytest.mark.slow  # full torch-checkpoint port roundtrip
+
 RNG = np.random.default_rng(0)
 
 
