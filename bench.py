@@ -5,13 +5,27 @@ Default mode measures the production inference pipeline on the flagship config
 normalize, CNN forward, dense decode + point selection, RANSAC init, weighted LM
 refine. Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-All numbers in BASELINE.md regenerate from this file:
+All numbers in BASELINE.md regenerate from this file. Modes (CDPN family
+unless said otherwise):
 
-    python bench.py                  # headline: inference, pose-consistent field
-    python bench.py --mode infer_raw # same pipeline, raw untrained CNN output
-    python bench.py --mode train     # full train step (fwd+LC loss+bwd+Ranger)
-    python bench.py --mode mfu       # CNN forward alone: ms, FLOPs, MFU
-    python bench.py --mode ref       # measured reference components on this host
+    python bench.py                    # headline: inference, pose-consistent field
+    python bench.py --mode infer_raw   # same pipeline, raw untrained CNN output
+    python bench.py --mode int8        # headline pipeline with int8 CNN (models/quant)
+    python bench.py --mode train       # full train step (fwd+LC loss+bwd+Ranger)
+    python bench.py --mode train_trace # train-step split: fwd / bwd / optimizer ms
+    python bench.py --mode mfu         # CNN forward alone: ms, FLOPs, MFU
+    python bench.py --mode mfu_stages  # per-backbone-stage ms/GFLOP/MFU (the S2D
+                                       #   stem A/B runs this with LC_TPU_STEM_S2D=0/1)
+    python bench.py --mode stages      # end-to-end stage budget (crop/CNN/select/
+                                       #   RANSAC/LM), cumulative-prefix differential
+    python bench.py --mode sparse      # gsplmo-shaped 16-keypoint family end-to-end
+    python bench.py --mode zebra       # Zebra-DeepLabV3 family end-to-end
+    python bench.py --mode zebra_int8  # zebra end-to-end with int8 CNN
+    python bench.py --mode zebra_stages# zebra stage budget
+    python bench.py --mode zebra_mfu   # zebra forward alone: ms, FLOPs, MFU
+    python bench.py --mode zebra_train # zebra full train step
+    python bench.py --mode trace       # write an XLA profiler trace to /tmp
+    python bench.py --mode ref         # measured reference components on this host
 
 vs_baseline: the reference publishes no throughput numbers and its GPU stack
 cannot run in this image. The denominator is the MEASURED throughput of the

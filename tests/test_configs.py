@@ -10,7 +10,9 @@ from lc_tpu.optim.factory import build_optimizer
 from lc_tpu.utils.config import load_config
 
 CONFIGS = ['configs/glmo.yaml', 'configs/gycbv.yaml', 'configs/gsplmo.yaml',
-           'configs/zlmo.yaml', 'configs/zycbv.yaml']
+           'configs/zlmo.yaml', 'configs/zycbv.yaml',
+           # synthetic-demo configs (same schema, synthetic data roots)
+           'configs/syn.yaml', 'configs/zsyn.yaml', 'configs/gspsyn.yaml']
 
 
 @pytest.mark.parametrize('path', CONFIGS)

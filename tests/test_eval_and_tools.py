@@ -284,3 +284,84 @@ class TestCheckpoint:
         assert (tmp_path / 'final.ckpt').exists()
         assert any(p.name.startswith('best_10_') for p in tmp_path.iterdir())
         assert ck.list_ckpts() == []
+
+
+class TestPreflight:
+    """tools/preflight.py — the real-data runbook's step-0 check (PARITY.md
+    RUNBOOK), dry-run on the synthetic BOP tree."""
+
+    def _tool(self):
+        import importlib.util
+        import os.path as osp
+        path = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                        'tools', 'preflight.py')
+        spec = importlib.util.spec_from_file_location('preflight', path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_synthetic_tree_passes(self, tmp_path):
+        pf = self._tool()
+        root = str(tmp_path / 'bop')
+        synthetic.generate_dataset(root, n_images=3, split='train_syn', seed=0)
+        synthetic.generate_dataset(root, n_images=2, split='test_syn', seed=5,
+                                   list_name='test_list.txt')
+        cfg = synthetic.default_train_cfg(root)
+        rep = pf.preflight(cfg, obj_ids=[1])
+        assert rep.n_missing_required == 0, [r for r in rep.rows if not r[0]]
+
+    def test_reports_missing_pieces(self, tmp_path):
+        """Delete z_crop + the eval mesh: both must surface as REQUIRED-missing
+        (z_crop because the config trains with a pose/NOC loss)."""
+        import os
+        import shutil
+        pf = self._tool()
+        root = str(tmp_path / 'bop')
+        synthetic.generate_dataset(root, n_images=3, split='train_syn', seed=0)
+        synthetic.generate_dataset(root, n_images=2, split='test_syn', seed=5,
+                                   list_name='test_list.txt')
+        shutil.rmtree(os.path.join(root, 'train_syn', 'z_crop'))
+        os.remove(os.path.join(root, 'models_eval', 'obj_000001.ply'))
+        cfg = synthetic.default_train_cfg(root)
+        rep = pf.preflight(cfg, obj_ids=[1])
+        missing = [r[2] for r in rep.rows if not r[0] and r[1]]
+        assert any('z_crop' in m for m in missing), missing
+        assert any('eval mesh' in m for m in missing), missing
+        assert rep.n_missing_required == 2, missing
+
+    def test_cli_exit_codes(self, tmp_path):
+        import subprocess
+        import sys as _sys
+        import os.path as osp
+        repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+        root = str(tmp_path / 'bop')
+        synthetic.generate_dataset(root, n_images=2, split='train_syn', seed=0)
+        synthetic.generate_dataset(root, n_images=2, split='test_syn', seed=5,
+                                   list_name='test_list.txt')
+        import yaml
+
+        def plain(v):
+            if isinstance(v, dict):
+                return {k: plain(x) for k, x in v.items()}
+            if isinstance(v, (list, tuple)):
+                return [plain(x) for x in v]
+            return v
+
+        cfg = synthetic.default_train_cfg(root)
+        cfg_path = str(tmp_path / 'syn.yaml')
+        with open(cfg_path, 'w') as f:
+            yaml.safe_dump(plain(cfg), f)
+        env = dict(os.environ, JAX_PLATFORMS='cpu')
+        r = subprocess.run([_sys.executable,
+                            osp.join(repo, 'tools', 'preflight.py'),
+                            '--config', cfg_path, '--obj', '1'],
+                           capture_output=True, text=True, env=env)
+        assert r.returncode == 0, r.stdout + r.stderr
+        r2 = subprocess.run([_sys.executable,
+                             osp.join(repo, 'tools', 'preflight.py'),
+                             '--config', osp.join(repo, 'configs/glmo.yaml'),
+                             '--obj', '1'],
+                            capture_output=True, text=True, env=env,
+                            cwd=str(tmp_path))  # no datasets/ tree here
+        assert r2.returncode == 1, r2.stdout + r2.stderr
+        assert 'MISSING' in r2.stdout

@@ -97,6 +97,35 @@ def test_run_test_sharded_matches_single_device(syn_root):
             rtol=0.03, atol=1.0)
 
 
+def test_run_test_int8_sharded_matches_single_device(syn_root):
+    """int8_inference composed with the sharded eval path (harness.py:226 +
+    the mesh branch): the quantized convs are a trace-time interception inside
+    the sharded jit, and activation scales are per-SAMPLE (models/quant.py), so
+    local-batch-1 vs batch-8 compilation is the only divergence source — the
+    sharded int8 eval must agree with the single-device int8 eval to the same
+    tolerance as the f32 pair above."""
+    from lc_tpu import harness
+    from lc_tpu.train import build_training, eval_variables
+    from lc_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg(syn_root)
+    cfg['int8_inference'] = True
+    comps = build_training(cfg, seed=0)
+    variables = eval_variables(comps['state'])
+    kw = dict(cfg=cfg, model=comps['model'], variables=variables,
+              loader=comps['test_loader'], dataset=comps['test_set'],
+              evaluator=comps['evaluator'])
+    res_single = harness.run_test(**kw)
+    res_mesh = harness.run_test(**kw, mesh=make_mesh(8))
+    for name in res_single:
+        e0 = res_single[name]['errors']
+        e1 = res_mesh[name]['errors']
+        assert len(e0) == len(e1)
+        np.testing.assert_allclose(
+            [d['add'] for d in e0], [d['add'] for d in e1],
+            rtol=0.03, atol=1.0)
+
+
 def test_entry_compiles():
     import sys
     sys.path.insert(0, '/root/repo')
