@@ -8,7 +8,7 @@ export PYTHONUNBUFFERED=1
 
 run() {
   local name="$1"; shift
-  if [ -f ".round4/status/$name.exit" ] && [ "$(cat .round4/status/$name.exit)" = "0" ]; then
+  if [ -f ".round4/status/$name.exit" ] && [ "$(cat ".round4/status/$name.exit")" = "0" ]; then
     echo "== skip $name (done)"; return 0
   fi
   echo "== start $name: $* $(date +%T)"
@@ -18,7 +18,13 @@ run() {
   echo "$rc" > ".round4/status/$name.exit"
   echo "$((SECONDS-t0))" > ".round4/status/$name.secs"
   echo "== done $name rc=$rc $(( SECONDS-t0 ))s $(date +%T)"
-  return 0
+  return $rc
+}
+
+# skip an eval when the training that produces its checkpoint failed
+need() {
+  local dep="$1"
+  [ -f ".round4/status/$dep.exit" ] && [ "$(cat ".round4/status/$dep.exit")" = "0" ]
 }
 
 # --- Phase A: benches (short, TPU) -------------------------------------
@@ -37,21 +43,27 @@ run int8_lowering    python tools/check_int8_lowering.py
 # --- Phase B: trainings + evals (long, TPU) ----------------------------
 run train_syn python -m lc_tpu.train --config configs/syn.yaml \
   --output .round4/out --opts train.num_steps=3000 train.test_every=0 train.ckpt_every=1000
-run eval_syn_f32 python -m lc_tpu.test --config configs/syn.yaml \
+need train_syn && run eval_syn_f32 python -m lc_tpu.test --config configs/syn.yaml \
   --weight .round4/out/syn-1/model_final.ckpt --output .round4/out/eval_syn_f32 --obj 1 --deterministic
-run eval_syn_int8 python -m lc_tpu.test --config configs/syn.yaml \
+need train_syn && run eval_syn_int8 python -m lc_tpu.test --config configs/syn.yaml \
   --weight .round4/out/syn-1/model_final.ckpt --output .round4/out/eval_syn_int8 --obj 1 --deterministic \
   --opts int8_inference=true
 
 run train_zsyn python -m lc_tpu.train --config configs/zsyn.yaml --output .round4/out
-run eval_zsyn_f32 python -m lc_tpu.test --config configs/zsyn.yaml \
+need train_zsyn && run eval_zsyn_f32 python -m lc_tpu.test --config configs/zsyn.yaml \
   --weight .round4/out/zsyn-1/model_final.ckpt --output .round4/out/eval_zsyn_f32 --obj 1 --deterministic
-run eval_zsyn_int8 python -m lc_tpu.test --config configs/zsyn.yaml \
+need train_zsyn && run eval_zsyn_int8 python -m lc_tpu.test --config configs/zsyn.yaml \
   --weight .round4/out/zsyn-1/model_final.ckpt --output .round4/out/eval_zsyn_int8 --obj 1 --deterministic \
   --opts int8_inference=true
 
 run train_gspsyn python -m lc_tpu.train --config configs/gspsyn.yaml --output .round4/out
-run eval_gspsyn_f32 python -m lc_tpu.test --config configs/gspsyn.yaml \
+need train_gspsyn && run eval_gspsyn_f32 python -m lc_tpu.test --config configs/gspsyn.yaml \
   --weight .round4/out/gspsyn-1/model_final.ckpt --output .round4/out/eval_gspsyn_f32 --obj 1 --deterministic
 
+fails=0
+for f in .round4/status/*.exit; do
+  rc=$(cat "$f")
+  if [ "$rc" != "0" ]; then echo "== FAILED: $(basename "$f" .exit) rc=$rc"; fails=$((fails+1)); fi
+done
+if [ "$fails" != "0" ]; then echo "== DONE WITH $fails FAILURE(S) $(date +%T)"; exit 1; fi
 echo "== ALL DONE $(date +%T)"

@@ -10,12 +10,22 @@ unless said otherwise):
 
     python bench.py                    # headline: inference, pose-consistent field
     python bench.py --mode infer_raw   # same pipeline, raw untrained CNN output
-    python bench.py --mode int8        # headline pipeline with int8 CNN (models/quant)
+    python bench.py --mode int8        # headline pipeline, int8 CNN, dynamic scales
+    python bench.py --mode int8_static # headline pipeline, int8 CNN, calibrated
+                                       #   static scales (the serving mode)
+    python bench.py --mode zebra_int8_static  # same for the zebra family
     python bench.py --mode train       # full train step (fwd+LC loss+bwd+Ranger)
     python bench.py --mode train_trace # train-step split: fwd / bwd / optimizer ms
     python bench.py --mode mfu         # CNN forward alone: ms, FLOPs, MFU
-    python bench.py --mode mfu_stages  # per-backbone-stage ms/GFLOP/MFU (the S2D
-                                       #   stem A/B runs this with LC_TPU_STEM_S2D=0/1)
+    python bench.py --mode mfu_stages  # per-stage ms/GFLOP/MFU, ISOLATED stage
+                                       #   timing (the S2D stem A/B runs this
+                                       #   with LC_TPU_STEM_S2D=0/1)
+    python bench.py --mode zebra_mfu_stages   # same for the zebra forward
+    python bench.py --mode int8_mfu    # forward bf16 vs int8 dynamic vs int8
+                                       #   static-scale: ms, speedups, eff. TOPS
+    python bench.py --mode zebra_int8_mfu     # same for the zebra forward
+    python bench.py --mode int8_stages # per-stage bf16/int8-dyn/int8-static ms
+    python bench.py --mode zebra_int8_stages  # same for the zebra forward
     python bench.py --mode stages      # end-to-end stage budget (crop/CNN/select/
                                        #   RANSAC/LM), cumulative-prefix differential
     python bench.py --mode sparse      # gsplmo-shaped 16-keypoint family end-to-end
@@ -24,6 +34,7 @@ unless said otherwise):
     python bench.py --mode zebra_stages# zebra stage budget
     python bench.py --mode zebra_mfu   # zebra forward alone: ms, FLOPs, MFU
     python bench.py --mode zebra_train # zebra full train step
+    python bench.py --mode zebra_train_trace  # zebra fwd/bwd/opt split + MFUs
     python bench.py --mode trace       # write an XLA profiler trace to /tmp
     python bench.py --mode ref         # measured reference components on this host
 
@@ -122,7 +133,30 @@ def _bench_scene(out_c: float):
     return frames, affines, K, gt
 
 
-def _build_inference(blend_field: bool, int8: bool = False):
+def _make_apply(model, variables, int8: str | None, calib_input_fn):
+    """Eval-forward builder shared by the end-to-end benches. int8 None ->
+    bf16; 'dynamic' -> per-sample scales; 'static' -> per-conv scales
+    calibrated once (eagerly, outside the timed chain) on the bench scene's
+    real preprocessed crops via calib_input_fn()."""
+    if int8 is None:
+        return lambda v, x: model.apply(v, x, train=False)
+    from lc_tpu.models.quant import quantized_int8, calibrate_act_scales
+    scales = None
+    if int8 == 'static':
+        scales = calibrate_act_scales(
+            lambda b: model.apply(variables, b, train=False),
+            [calib_input_fn()])
+
+    def apply_fn(v, x):
+        with quantized_int8(act_scales=scales):
+            return model.apply(v, x, train=False)
+    return apply_fn
+
+
+def _build_inference(blend_field: bool, int8: str | None = None):
+    """int8: None (bf16), 'dynamic' (per-sample scales), or 'static'
+    (per-conv scales calibrated on the bench scene itself — the serving
+    configuration: calibrate once, then a pure elementwise quantize)."""
     import jax
     import jax.numpy as jnp
     from lc_tpu.models import build_model
@@ -161,14 +195,10 @@ def _build_inference(blend_field: bool, int8: bool = False):
     # carry: a ~0 scalar derived from the previous batch's solved poses, mixed
     # into the next batch's frames — forces batch i+1 to data-depend on batch i
     # so the chain timing is honest (see _chained_rate)
-    if int8:
-        from lc_tpu.models.quant import quantized_int8
-        def apply_fn(v, x):
-            with quantized_int8():
-                return model.apply(v, x, train=False)
-    else:
-        def apply_fn(v, x):
-            return model.apply(v, x, train=False)
+    apply_fn = _make_apply(model, variables, int8, lambda: (
+        (batched_separable_warp(frames, affines, (256, 256), 'bilinear',
+                                compute_dtype=jnp.bfloat16) / 255.0
+         - mean) / std))
 
     @jax.jit
     def step_fn(key, carry):
@@ -196,7 +226,7 @@ def _build_inference(blend_field: bool, int8: bool = False):
     return step, fetch, (jax.random.PRNGKey(0), jnp.float32(0))
 
 
-def bench_inference(blend_field: bool, int8: bool = False):
+def bench_inference(blend_field: bool, int8: str | None = None):
     step, fetch, x0 = _build_inference(blend_field, int8=int8)
     dt = _chained_rate(step, fetch, x0)
     # the benched pipeline is unsharded (plain jit on one device), so the
@@ -204,7 +234,7 @@ def bench_inference(blend_field: bool, int8: bool = False):
     v = BATCH / dt
     tag = 'pose-consistent field' if blend_field else 'raw untrained CNN output'
     if int8:
-        tag += ', int8 CNN'
+        tag += f', int8-{int8} CNN'
     return {
         "metric": f"crops/sec/chip end-to-end steady-state "
                   f"(crop->CNN->PnP, {tag})",
@@ -297,88 +327,247 @@ def bench_mfu():
     }
 
 
-def bench_mfu_stages():
-    """CDPN forward per-stage budget: cumulative backbone prefixes (stem,
-    layer1..layer4) plus the full model, each chained+fetch-synced like the
-    headline, with per-prefix compiled FLOPs — successive differences give
-    per-stage ms, GFLOP, and MFU. This grounds the whole-forward 60-64% MFU:
-    which stages run below the MXU peak (the 3-input-channel stem, the
-    64-channel layer1 at half the 128-lane width, the memory-bound bilinear
-    upsamples) vs the wide decoder convs that dominate FLOPs."""
+def _subvars(variables, path):
+    """Extract the {params, batch_stats} subtrees at `path` (tuple of keys)."""
+    out = {}
+    for col in ('params', 'batch_stats'):
+        node = variables.get(col)
+        for p in path:
+            node = node.get(p) if node is not None else None
+        if node is not None:
+            out[col] = node
+    return out
+
+
+def _forward_stages(kind: str):
+    """Isolated per-stage specs for a family's CNN forward.
+
+    Returns (stage list, full-forward spec). Each stage is
+    (name, apply_fn, input_array): apply_fn(x) applies JUST that stage (its
+    flax submodule with the full model's variable subtree) to its REAL input,
+    materialized by running the prefix once. Round 4's cumulative-prefix
+    differencing printed physically impossible per-stage MFUs (8.6, 2.1) —
+    run-to-run noise on the ~10 ms prefixes swamped sub-ms stage deltas.
+    Isolated timing measures each stage directly; the cost is that cross-stage
+    fusion at the boundaries is not captured, so the isolated sum can differ
+    from the full forward by the boundary terms (both are reported)."""
     import jax
     import jax.numpy as jnp
-    from flax import linen as nn
     from lc_tpu.models import build_model
     from lc_tpu.models.resnet import ResNetStem, ResLayer
+    from lc_tpu.models.cdpn import CDPNDecoder
+    from lc_tpu.models.zebra import ASPP
     from lc_tpu.models.layers import max_pool_3x3_s2
 
-    model = build_model('cdpn_resnet', {'concat': False})
+    zebra = kind == 'zebra'
+    if zebra:
+        model = build_model('zebra_DeepLabV3', {'concat': True},
+                            total_bit_cnt=20)
+    else:
+        model = build_model('cdpn_resnet', {'concat': False})
     img = jnp.zeros((BATCH, 256, 256, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), img, train=False)
-    bvars = {'params': variables['params']['net']['backbone'],
-             'batch_stats': variables['batch_stats']['net']['backbone']}
+    base = ('net', 'resnet') if zebra else ('net', 'backbone')
 
-    class _Prefix(nn.Module):
-        """Backbone truncated after `upto`; module names match ResNetBackbone
-        so the full model's variable subtree applies unchanged."""
-        upto: str
+    def stage(mod, *path, pre=None):
+        v = _subvars(variables, base + path)
+        if pre is None:
+            return lambda x, _m=mod, _v=v: _m.apply(_v, x, train=False)
+        return lambda x, _m=mod, _v=v, _p=pre: _m.apply(_v, _p(x), train=False)
 
-        @nn.compact
-        def __call__(self, x):
-            x = ResNetStem(name='stem')(x, train=False)
-            if self.upto == 'stem':
-                return x
-            x = max_pool_3x3_s2(x)
-            for name, args in (('layer1', (64, 3, 1)), ('layer2', (128, 4, 2)),
-                               ('layer3', (256, 6, 2)), ('layer4', (512, 3, 2))):
-                f, n, s = args
-                x = ResLayer(f, n, stride=s, name=name)(x, train=False)
-                if self.upto == name:
-                    return x
-            return x
+    if zebra:
+        stages = [
+            ('stem', stage(ResNetStem(), 'stem')),
+            ('maxpool+layer1', stage(ResLayer(64, 3), 'layer1',
+                                     pre=max_pool_3x3_s2)),
+            ('layer2', stage(ResLayer(128, 4, stride=2), 'layer2')),
+            ('layer4(d2)', stage(ResLayer(256, 6, dilation=2), 'layer4')),
+            ('layer5(d4)', stage(ResLayer(512, 3, dilation=4), 'layer5')),
+        ]
+    else:
+        stages = [
+            ('stem', stage(ResNetStem(), 'stem')),
+            ('maxpool+layer1', stage(ResLayer(64, 3), 'layer1',
+                                     pre=max_pool_3x3_s2)),
+            ('layer2', stage(ResLayer(128, 4, stride=2), 'layer2')),
+            ('layer3', stage(ResLayer(256, 6, stride=2), 'layer3')),
+            ('layer4', stage(ResLayer(512, 3, stride=2), 'layer4')),
+        ]
 
-    stages = ['stem', 'layer1', 'layer2', 'layer3', 'layer4']
-    cum_ms, cum_gf = {}, {}
-    for s in stages:
-        prefix = _Prefix(upto=s)
+    # materialize each stage's real input by running the chain once (jitted:
+    # eager op-by-op execution pays a dispatch round-trip per op on the relay)
+    specs = []
+    x = img
+    for name, fn in stages:
+        specs.append((name, fn, x))
+        x = jax.jit(fn)(x)
+
+    # decoder/ASPP stage: primary input = the high-level feature; skip inputs
+    # are fixed (materialized) closures. PtNet's f32 heads (slicing + mean +
+    # Dense(1)) are excluded — sub-0.05 ms.
+    if zebra:
+        x128 = specs[1][2]              # stem output (maxpool+layer1's input)
+        x64 = specs[2][2]               # layer1 output
+        dec = ASPP(model.binary_bits + 3)
+        dv = _subvars(variables, ('net', 'aspp'))
+        specs.append(('aspp+upsample', lambda x, _m=dec, _v=dv: _m.apply(
+            _v, x, x128, x64, train=False), x))
+    else:
+        f64 = specs[2][2]
+        f32_ = specs[3][2]
+        f16 = specs[4][2]
+        dec = CDPNDecoder(6, concat=False)
+        dv = _subvars(variables, ('net', 'decoder'))
+        specs.append(('decoder', lambda x, _m=dec, _v=dv: _m.apply(
+            _v, x, (f64, f32_, f16), train=False), x))
+
+    key = 'xyz_noc_bin' if zebra else 'xyz_noc'
+
+    def full_fn(x):
+        return model.apply(variables, x, train=False)[key]
+
+    return specs, (full_fn, img)
+
+
+def _leaf_sum(y):
+    import jax
+    import jax.numpy as jnp
+    return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(y))
+
+
+def _time_stage(apply_fn, x_in, int8: bool, act_scales=None):
+    """Chained-rate one stage: (ms, GFLOP of the compiled stage program)."""
+    import jax
+    import jax.numpy as jnp
+
+    if int8:
+        from lc_tpu.models.quant import quantized_int8
 
         @jax.jit
-        def fwd(x, _p=prefix):
-            out = _p.apply(bvars, x)
-            return x + 1e-12 * jnp.mean(out).astype(x.dtype)
+        def step(c):
+            x = x_in + c.astype(x_in.dtype)
+            with quantized_int8(act_scales=act_scales):
+                y = apply_fn(x)
+            return 1e-20 * _leaf_sum(y)
+    else:
+        @jax.jit
+        def step(c):
+            x = x_in + c.astype(x_in.dtype)
+            return 1e-20 * _leaf_sum(apply_fn(x))
 
-        cost = fwd.lower(img).compile().cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        cum_gf[s] = float(cost.get('flops', 0.0)) / 1e9 if cost else 0.0
-        cum_ms[s] = _chained_rate(fwd, lambda x: np.asarray(x[0, 0, 0, 0]),
-                                  img) * 1e3
-
-    @jax.jit
-    def fwd_full(x):
-        out = model.apply(variables, x, train=False)
-        return x + 1e-12 * jnp.mean(out['xyz_noc']).astype(x.dtype)
-
-    cost = fwd_full.lower(img).compile().cost_analysis()
+    cost = step.lower(jnp.float32(0)).compile().cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-    cum_gf['full'] = float(cost.get('flops', 0.0)) / 1e9 if cost else 0.0
-    cum_ms['full'] = _chained_rate(
-        fwd_full, lambda x: np.asarray(x[0, 0, 0, 0]), img) * 1e3
+    gf = float(cost.get('flops', 0.0)) / 1e9 if cost else 0.0
+    dt = _chained_rate(step, lambda c: np.asarray(c), jnp.float32(0))
+    return dt * 1e3, gf
 
-    table, prev_ms, prev_gf = {}, 0.0, 0.0
-    for s in stages + ['full']:
-        dms = cum_ms[s] - prev_ms
-        dgf = cum_gf[s] - prev_gf
-        name = 'decoder+heads' if s == 'full' else s
-        mfu = dgf * 1e9 / (dms * 1e-3) / V5E_PEAK_BF16 if dms > 0 else -1.0
-        table[name] = [round(dms, 3), round(dgf, 1), round(mfu, 3)]
-        prev_ms, prev_gf = cum_ms[s], cum_gf[s]
 
-    full_mfu = cum_gf['full'] * 1e9 / (cum_ms['full'] * 1e-3) / V5E_PEAK_BF16
+def bench_mfu_stages(kind: str = 'cdpn'):
+    """Forward per-stage budget by ISOLATED stage timing (see _forward_stages).
+
+    Each backbone stage + the decoder runs alone on its real (materialized)
+    input, chained and fetch-synced like the headline; compiled FLOPs give
+    per-stage MFU. The isolated sum vs the full forward bounds what boundary
+    fusion contributes."""
+    stages, (full_fn, img) = _forward_stages(kind)
+    table = {}
+    for name, fn, x_in in stages:
+        ms, gf = _time_stage(fn, x_in, int8=False)
+        mfu = gf * 1e9 / (ms * 1e-3) / V5E_PEAK_BF16 if ms > 0 else -1.0
+        table[name] = [round(ms, 3), round(gf, 1), round(mfu, 3)]
+    full_ms, full_gf = _time_stage(full_fn, img, int8=False)
+    full_mfu = full_gf * 1e9 / (full_ms * 1e-3) / V5E_PEAK_BF16
+    iso_sum = sum(v[0] for v in table.values())
+    table['SUM(isolated)'] = [round(iso_sum, 3), None, None]
+    table['full'] = [round(full_ms, 3), round(full_gf, 1), round(full_mfu, 3)]
     return {
-        "metric": "CDPN forward per-stage [ms, GFLOP, MFU] "
-                  f"(cumulative-prefix differential): {table}",
+        "metric": f"{kind} forward per-stage [ms, GFLOP, MFU] "
+                  f"(isolated-stage timing): {table}",
         "value": round(full_mfu, 4),
         "unit": "MFU (full forward)",
+        "vs_baseline": None,
+    }
+
+
+def bench_int8_stages(kind: str = 'cdpn'):
+    """Per-stage bf16 vs int8(dynamic) vs int8(static-scale) ms — pinpoints
+    where the int8 forward loses its nominal 2x MXU rate (quantize/dequantize
+    VPU+HBM passes, non-conv ops, the bf16 stem)."""
+    from lc_tpu.models.quant import STATIC_SCALE_ANY
+    stages, (full_fn, img) = _forward_stages(kind)
+    table = {}
+    for name, fn, x_in in stages:
+        bf_ms, gf = _time_stage(fn, x_in, int8=False)
+        dyn_ms, _ = _time_stage(fn, x_in, int8=True)
+        st_ms, _ = _time_stage(fn, x_in, int8=True,
+                               act_scales=STATIC_SCALE_ANY)
+        table[name] = [round(bf_ms, 3), round(dyn_ms, 3), round(st_ms, 3),
+                       round(gf, 1)]
+    bf_full, gf_full = _time_stage(full_fn, img, int8=False)
+    dyn_full, _ = _time_stage(full_fn, img, int8=True)
+    st_full, _ = _time_stage(full_fn, img, int8=True,
+                             act_scales=STATIC_SCALE_ANY)
+    table['full'] = [round(bf_full, 3), round(dyn_full, 3), round(st_full, 3),
+                     round(gf_full, 1)]
+    return {
+        "metric": f"{kind} forward per-stage [bf16 ms, int8-dynamic ms, "
+                  f"int8-static ms, GFLOP] (isolated-stage timing; static = "
+                  f"fixed act scales, the quantize fuses into the producer): "
+                  f"{table}",
+        "value": round(bf_full / st_full, 4) if st_full > 0 else -1.0,
+        "unit": "int8-static speedup (full forward)",
+        "vs_baseline": None,
+    }
+
+
+def bench_int8_mfu(kind: str = 'cdpn'):
+    """Forward alone, bf16 vs int8: ms, effective TOPS, and int8 MFU against
+    the v5e 394 TOPS int8 peak (work counted from the bf16 program's FLOPs —
+    the model's useful arithmetic, not the quantize passes)."""
+    import jax
+    import jax.numpy as jnp
+    from lc_tpu.models import build_model
+    from lc_tpu.models.quant import quantized_int8, STATIC_SCALE_ANY
+
+    if kind == 'zebra':
+        model = build_model('zebra_DeepLabV3', {'concat': True},
+                            total_bit_cnt=20)
+        key = 'xyz_noc_bin'
+    else:
+        model = build_model('cdpn_resnet', {'concat': False})
+        key = 'xyz_noc'
+    img = jnp.zeros((BATCH, 256, 256, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+
+    def make(int8, act_scales=None):
+        @jax.jit
+        def fwd(x):
+            if int8:
+                with quantized_int8(act_scales=act_scales):
+                    out = model.apply(variables, x, train=False)
+            else:
+                out = model.apply(variables, x, train=False)
+            return x + 1e-12 * jnp.mean(out[key]).astype(x.dtype)
+        return fwd
+
+    fwd_bf = make(False)
+    cost = fwd_bf.lower(img).compile().cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get('flops', 0.0)) if cost else 0.0
+    fetch = lambda x: np.asarray(x[0, 0, 0, 0])  # noqa: E731
+    bf_dt = _chained_rate(fwd_bf, fetch, img)
+    dyn_dt = _chained_rate(make(True), fetch, img)
+    st_dt = _chained_rate(make(True, STATIC_SCALE_ANY), fetch, img)
+    eff_tops = flops / st_dt / 1e12
+    int8_mfu = flops / st_dt / (2 * V5E_PEAK_BF16)
+    return {
+        "metric": f"{kind} forward bf16 {bf_dt*1e3:.2f} ms ({flops/1e9:.0f} "
+                  f"GFLOP, MFU {flops/bf_dt/V5E_PEAK_BF16:.3f}) | int8-dynamic "
+                  f"{dyn_dt*1e3:.2f} ms ({bf_dt/dyn_dt:.2f}x) | int8-static "
+                  f"{st_dt*1e3:.2f} ms ({bf_dt/st_dt:.2f}x, {eff_tops:.0f} "
+                  f"effective TOPS, {int8_mfu:.3f} of the 394 TOPS int8 peak)",
+        "value": round(bf_dt / st_dt, 4),
+        "unit": "int8-static speedup over bf16 (forward alone)",
         "vs_baseline": None,
     }
 
@@ -436,7 +625,7 @@ def bench_ref():
     }
 
 
-def bench_zebra(int8: bool = False):
+def bench_zebra(int8: str | None = None):
     """The second model family end-to-end: Zebra-DeepLabV3 (ASPP, OS8) at 256²
     input / 128² binary-code output, Gray-code decode, quantile_in_mask select,
     RANSAC + weighted LM — the zlmo/zycbv-shaped inference path. Raw untrained
@@ -459,14 +648,10 @@ def bench_zebra(int8: bool = False):
     mean = jnp.asarray(IMAGENET_MEAN)
     std = jnp.asarray(IMAGENET_STD)
 
-    if int8:
-        from lc_tpu.models.quant import quantized_int8
-        def apply_fn(v, x):
-            with quantized_int8():
-                return model.apply(v, x, train=False)
-    else:
-        def apply_fn(v, x):
-            return model.apply(v, x, train=False)
+    apply_fn = _make_apply(model, variables, int8, lambda: (
+        (batched_separable_warp(frames, affines, (256, 256), 'bilinear',
+                                compute_dtype=jnp.bfloat16) / 255.0
+         - mean) / std))
 
     @jax.jit
     def step_fn(key, carry):
@@ -490,7 +675,7 @@ def bench_zebra(int8: bool = False):
     return {
         "metric": "zebra crops/sec/chip end-to-end (crop->DeepLabV3 128² "
                   "bits->Gray decode->PnP, raw untrained output"
-                  + (", int8 CNN)" if int8 else ")"),
+                  + (f", int8-{int8} CNN)" if int8 else ")"),
         "value": round(v, 2),
         "unit": "crops/s/chip",
         "vs_baseline": round(v / REF_HOST_RANSAC_CROPS_PER_SEC, 3),
@@ -735,9 +920,12 @@ def bench_zebra_train():
     }
 
 
-def bench_train_split():
+def bench_train_split(kind: str = 'cdpn'):
     """Train-step budget: forward-loss / backward / optimizer split by
-    differential chaining of (loss-only, grad-only, full-step) programs."""
+    differential chaining of (loss-only, grad-only, full-step) programs.
+    Also reports the compiled FLOPs of the loss-only and grad programs, so
+    the backward's MFU (and its distance from the forward's) is measured,
+    not inferred from the 2x-fwd rule of thumb."""
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _synthetic_gt_blob
@@ -747,12 +935,25 @@ def bench_train_split():
     from lc_tpu.parallel.train_step import create_train_state, make_train_step
     from lc_tpu.loss.loss_fn import compute_losses, zero_taps
 
-    model = build_model('cdpn_resnet', {'concat': False})
-    loss_cfg = LossConfig(w_loss_noc=1.0, w_loss_seg=0.25, w_loss_pose=0.02,
-                          full_pose_loss_step=1, dense_sample=2)
-    tx = ranger(2e-4, weight_decay=1e-4)
+    if kind == 'zebra':
+        import optax
+        bit_cnt = (7, 7, 6)
+        model = build_model('zebra_DeepLabV3', {'concat': True},
+                            total_bit_cnt=sum(bit_cnt))
+        loss_cfg = LossConfig(w_loss_noc_bin=3.0, w_loss_seg=1.0,
+                              w_loss_pose=0.03, full_pose_loss_step=1,
+                              dense_sample=2, bit_cnt=bit_cnt)
+        tx = optax.adam(2e-4)
+        out_res = 128
+    else:
+        bit_cnt = None
+        model = build_model('cdpn_resnet', {'concat': False})
+        loss_cfg = LossConfig(w_loss_noc=1.0, w_loss_seg=0.25, w_loss_pose=0.02,
+                              full_pose_loss_step=1, dense_sample=2)
+        tx = ranger(2e-4, weight_decay=1e-4)
+        out_res = 64
     gt = {k: jnp.asarray(v) for k, v in
-          _synthetic_gt_blob(BATCH, out_res=64, in_res=256).items()}
+          _synthetic_gt_blob(BATCH, out_res=out_res, in_res=256).items()}
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                jnp.zeros((1, 256, 256, 3)), loss_cfg)
     from lc_tpu.loss.targets import annots_on_the_fly
@@ -762,7 +963,7 @@ def bench_train_split():
         out, _ = model.apply(variables, img_in, train=True,
                              mutable=['batch_stats'])
         annot = annots_on_the_fly(gt, out, step=1, sym_aware_start=0,
-                                  bit_cnt=None, black_background=False)
+                                  bit_cnt=bit_cnt, black_background=False)
         g = dict(gt)
         g.update(annot)
         total, _, _ = compute_losses(loss_cfg, g, out, state.loss_state, 1,
@@ -780,7 +981,14 @@ def bench_train_split():
         acc = sum(jnp.sum(g) for g in jax.tree.leaves(grads))
         return img_in, 1e-20 * acc
 
+    def _flops(jfn, *a):
+        cost = jfn.lower(*a).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        return float(cost.get('flops', 0.0)) if cost else 0.0
+
     img = gt['img_in']
+    gf_f = _flops(fwd_only, img, jnp.float32(0)) / 1e9
+    gf_fb = _flops(fwd_bwd, img, jnp.float32(0)) / 1e9
     t_f = _chained_rate(lambda x: fwd_only(x[0], x[1]),
                         lambda x: np.asarray(x[1]), (img, jnp.float32(0)))
     t_fb = _chained_rate(lambda x: fwd_bwd(x[0], x[1]),
@@ -788,15 +996,23 @@ def bench_train_split():
 
     step_fn = make_train_step(model, tx, loss_cfg, donate=True)
     key = jax.random.PRNGKey(1)
+    loss_key = 'loss_noc_bin' if kind == 'zebra' else 'loss_noc'
     t_full = _chained_rate(lambda x: step_fn(x[0], gt, key),
-                           lambda x: float(x[1]['loss_noc']), (state, None),
+                           lambda x: float(x[1][loss_key]), (state, None),
                            warmup=WARMUP)
+    mfu_f = gf_f * 1e9 / t_f / V5E_PEAK_BF16
+    mfu_bwd = ((gf_fb - gf_f) * 1e9 / (t_fb - t_f) / V5E_PEAK_BF16
+               if t_fb > t_f else -1.0)
     split = dict(fwd_ms=round(t_f * 1e3, 2),
                  bwd_ms=round((t_fb - t_f) * 1e3, 2),
                  optimizer_and_rest_ms=round((t_full - t_fb) * 1e3, 2),
-                 full_step_ms=round(t_full * 1e3, 2))
+                 full_step_ms=round(t_full * 1e3, 2),
+                 fwd_gflop=round(gf_f, 1),
+                 bwd_gflop=round(gf_fb - gf_f, 1),
+                 fwd_mfu=round(mfu_f, 3), bwd_mfu=round(mfu_bwd, 3))
     return {
-        "metric": f"train-step budget (CDPN flagship, batch {BATCH}): {split}",
+        "metric": f"train-step budget ({kind} flagship, batch {BATCH}): "
+                  f"{split}",
         "value": split['full_step_ms'],
         "unit": "ms/step",
         "vs_baseline": None,
@@ -833,7 +1049,11 @@ def main():
                     choices=['headline', 'infer_raw', 'train', 'mfu', 'ref',
                              'trace', 'zebra', 'stages', 'zebra_stages',
                              'zebra_mfu', 'zebra_train', 'train_trace',
-                             'sparse', 'mfu_stages', 'int8', 'zebra_int8'])
+                             'sparse', 'mfu_stages', 'int8', 'zebra_int8',
+                             'zebra_mfu_stages', 'int8_mfu', 'zebra_int8_mfu',
+                             'int8_stages', 'zebra_int8_stages',
+                             'zebra_train_trace', 'int8_static',
+                             'zebra_int8_static'])
     ap.add_argument('--batch', type=int, default=None,
                     help='override the batch size (default 32, the reference '
                          "config's; larger batches amortize fixed per-batch "
@@ -857,13 +1077,27 @@ def main():
     elif mode == 'zebra':
         out = bench_zebra()
     elif mode == 'int8':
-        out = bench_inference(blend_field=True, int8=True)
+        out = bench_inference(blend_field=True, int8='dynamic')
+    elif mode == 'int8_static':
+        out = bench_inference(blend_field=True, int8='static')
     elif mode == 'zebra_int8':
-        out = bench_zebra(int8=True)
+        out = bench_zebra(int8='dynamic')
+    elif mode == 'zebra_int8_static':
+        out = bench_zebra(int8='static')
     elif mode == 'sparse':
         out = bench_sparse()
     elif mode == 'mfu_stages':
-        out = bench_mfu_stages()
+        out = bench_mfu_stages('cdpn')
+    elif mode == 'zebra_mfu_stages':
+        out = bench_mfu_stages('zebra')
+    elif mode == 'int8_mfu':
+        out = bench_int8_mfu('cdpn')
+    elif mode == 'zebra_int8_mfu':
+        out = bench_int8_mfu('zebra')
+    elif mode == 'int8_stages':
+        out = bench_int8_stages('cdpn')
+    elif mode == 'zebra_int8_stages':
+        out = bench_int8_stages('zebra')
     elif mode == 'stages':
         out = bench_stages('cdpn')
     elif mode == 'zebra_stages':
@@ -873,7 +1107,9 @@ def main():
     elif mode == 'zebra_train':
         out = bench_zebra_train()
     elif mode == 'train_trace':
-        out = bench_train_split()
+        out = bench_train_split('cdpn')
+    elif mode == 'zebra_train_trace':
+        out = bench_train_split('zebra')
     else:
         out = bench_ref()
     print(json.dumps(out))

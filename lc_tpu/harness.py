@@ -225,7 +225,15 @@ def run_test(cfg, model, variables, loader, dataset, evaluator,
     # int8_inference: true (or --opts int8_inference=true) runs the CNN with
     # int8 convolutions on the MXU's 2x-rate path (models/quant.py); decode,
     # RANSAC and LM are unchanged. No reference counterpart (f32 CUDA there).
-    apply_fn = _jitted_apply(model, bool(cfg.get('int8_inference', False)))
+    # int8_act_scales: 'dynamic' (default; per-sample scales, calibration-free)
+    # or 'static' — per-conv scales calibrated on the FIRST eval batch, then
+    # fixed; removes the per-conv amax/rewrite HBM passes (the fast serving
+    # mode — see BASELINE.md int8 roofline). Static eval results therefore
+    # depend (weakly: scales only) on the first batch's composition.
+    int8 = bool(cfg.get('int8_inference', False))
+    int8_static = int8 and str(cfg.get('int8_act_scales',
+                                       'dynamic')) == 'static'
+    apply_fn = None if int8_static else _jitted_apply(model, int8)
     results: dict[str, list] = {}
     total_time = 0.0
     n_insts = 0
@@ -240,6 +248,16 @@ def run_test(cfg, model, variables, loader, dataset, evaluator,
         else:
             dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         gt = device_preprocess(dev_batch, key, **pp_kwargs)
+        if apply_fn is None:            # int8_act_scales: static — calibrate
+            from .models.quant import calibrate_act_scales, quantized_int8
+            scales = calibrate_act_scales(
+                lambda b: model.apply(variables, b, train=False),
+                [gt['img_in']])
+
+            def apply_static(v, x, _s=scales):
+                with quantized_int8(act_scales=_s):
+                    return model.apply(v, x, train=False)
+            apply_fn = jax.jit(apply_static)
         out = apply_fn(variables, gt['img_in'])
         rel = solver_cfg.get('rel_reproj_err', False)
         # relative threshold = 2 px at full-image scale (reference test.py:57,115-117)

@@ -23,6 +23,17 @@ with the batch axis kept), one VPU reduction per conv — so eval results
 are independent of batch composition, exactly like the per-sample f32
 reference path.
 
+Dynamic scales have a bandwidth cost the MXU rate cannot hide: the amax
+reduction must complete before the quantized rewrite of the SAME tensor,
+so every conv input makes two extra HBM passes (write wide + re-read +
+write int8) that a fused bf16 conv never pays. `calibrate_act_scales`
+measures per-conv static scales on calibration batches instead;
+`quantized_int8(act_scales=...)` then quantizes with fixed scalars — a
+pure elementwise op XLA fuses into the producing BN/ReLU, so activations
+are written ONCE, as int8 (less traffic than the bf16 path, not more).
+Static scales are per-conv per-tensor (shared across samples), the
+standard post-training-quantization operating point.
+
 This has no reference counterpart (the reference runs f32 CUDA end to
 end, reference test.py:164); it is gated off by default and enabled by
 `int8_inference: true` / `--opts int8_inference=true` on the test CLI,
@@ -89,12 +100,43 @@ def _quantize_act(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return quantize_tensor(x, axes=tuple(range(1, x.ndim)), keepdims=True)
 
 
-def _int8_conv(m: nn.Conv, x: jax.Array) -> jax.Array:
+# Sentinel for `quantized_int8(act_scales=...)`: every conv uses one fixed
+# nominal scale instead of calibrated values. TIMING/LOWERING USE ONLY — the
+# compiled program is identical in structure and cost to a calibrated run, but
+# the outputs are numerically meaningless. For real inference pass the dict
+# from `calibrate_act_scales`.
+STATIC_SCALE_ANY = "__static_scale_any__"
+_NOMINAL_SCALE = 0.05
+
+
+def _quantize_act_static(x: jax.Array, scale) -> tuple[jax.Array, jax.Array]:
+    """Fixed-scale activation quantization: a pure elementwise pass (no
+    reduction barrier), so XLA fuses it into the producing BN/ReLU and the
+    activation materializes in HBM once, as int8."""
+    s = jnp.asarray(scale, jnp.float32)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
+    return q.astype(jnp.int8), s
+
+
+def _act_scale_for(m: nn.Module, act_scales):
+    """None -> dynamic; sentinel -> nominal fixed; dict -> calibrated lookup
+    by module path (missing paths fall back to dynamic)."""
+    if act_scales is None:
+        return None
+    if act_scales is STATIC_SCALE_ANY:
+        return _NOMINAL_SCALE
+    return act_scales.get('/'.join(m.path))
+
+
+def _int8_conv(m: nn.Conv, x: jax.Array, act_scale=None) -> jax.Array:
     """Quantized replacement for nn.Conv.__call__ (NHWC, no feature groups)."""
     params = m.variables['params']
     w = params['kernel']                                  # (kh, kw, cin, cout)
     wq, ws = quantize_tensor(w, axes=(0, 1, 2))           # ws (cout,)
-    xq, xs = _quantize_act(x)                             # xs (B, 1, 1, 1)
+    if act_scale is None:
+        xq, xs = _quantize_act(x)                         # xs (B, 1, 1, 1)
+    else:
+        xq, xs = _quantize_act_static(x, act_scale)
     y = jax.lax.conv_general_dilated(
         xq, wq,
         window_strides=_canon_tuple(m.strides),
@@ -108,13 +150,16 @@ def _int8_conv(m: nn.Conv, x: jax.Array) -> jax.Array:
     return out.astype(m.dtype or x.dtype)
 
 
-def _int8_deconv(m: Deconv2x, x: jax.Array) -> jax.Array:
+def _int8_deconv(m: Deconv2x, x: jax.Array, act_scale=None) -> jax.Array:
     """Quantized Deconv2x: same flipped-kernel input-dilated conv geometry as
     layers.Deconv2x.__call__ (the zero rows lhs_dilation inserts are exactly
     representable, so dequantization is unchanged)."""
     w = m.variables['params']['kernel']                   # (3, 3, cin, cout)
     wq, ws = quantize_tensor(w, axes=(0, 1, 2))
-    xq, xs = _quantize_act(x)                             # xs (B, 1, 1, 1)
+    if act_scale is None:
+        xq, xs = _quantize_act(x)                         # xs (B, 1, 1, 1)
+    else:
+        xq, xs = _quantize_act_static(x, act_scale)
     y = jax.lax.conv_general_dilated(
         xq, wq[::-1, ::-1],
         window_strides=(1, 1), padding=((1, 2), (1, 2)),
@@ -131,31 +176,93 @@ def _is_default_dilation(v) -> bool:
     return all(e == 1 for e in _canon_tuple(v))
 
 
-def _make_interceptor(skip: Callable[[nn.Module], bool] | None):
+def _quantizable(m: nn.Module) -> bool:
+    """_int8_conv reproduces only the geometry the shipped models use: no
+    feature groups, no input dilation, no kernel mask. Anything else falls
+    through to the f32/bf16 path rather than quantizing with silently-wrong
+    geometry."""
+    if type(m) is nn.Conv:
+        return (m.feature_group_count == 1 and m.mask is None
+                and _is_default_dilation(m.input_dilation))
+    return type(m) is Deconv2x
+
+
+def _make_interceptor(skip: Callable[[nn.Module], bool] | None,
+                      act_scales=None):
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
         if (context.method_name == '__call__' and not m.is_initializing()
-                and (skip is None or not skip(m))):
-            # _int8_conv reproduces only the geometry the shipped models use:
-            # no feature groups, no input dilation, no kernel mask. Anything
-            # else falls through to the f32/bf16 path rather than quantizing
-            # with silently-wrong geometry.
-            if (type(m) is nn.Conv and m.feature_group_count == 1
-                    and m.mask is None
-                    and _is_default_dilation(m.input_dilation)):
-                return _int8_conv(m, *args, **kwargs)
-            if type(m) is Deconv2x:
-                return _int8_deconv(m, *args, **kwargs)
+                and (skip is None or not skip(m)) and _quantizable(m)):
+            scale = _act_scale_for(m, act_scales)
+            if type(m) is nn.Conv:
+                return _int8_conv(m, *args, act_scale=scale, **kwargs)
+            return _int8_deconv(m, *args, act_scale=scale, **kwargs)
         return next_fun(*args, **kwargs)
     return interceptor
 
 
 @contextlib.contextmanager
-def quantized_int8(skip: Callable[[nn.Module], bool] | None = None):
+def quantized_int8(skip: Callable[[nn.Module], bool] | None = None,
+                   act_scales=None):
     """Run every model.apply inside this context with int8 convolutions.
 
     skip: optional predicate on the bound module — return True to keep that
     conv in bf16/f32 (e.g. `lambda m: m.name == 'out_layer'` pins the output
-    head; measured unnecessary for the shipped families, see tests)."""
-    with nn.intercept_methods(_make_interceptor(skip)):
+    head; measured unnecessary for the shipped families, see tests).
+
+    act_scales: None (default) uses dynamic per-sample activation scales —
+    calibration-free, batch-composition-independent, but two extra HBM passes
+    per conv input (the amax reduction must finish before the quantized
+    rewrite of the same tensor). A dict from `calibrate_act_scales` uses
+    fixed per-conv scales — the quantize becomes elementwise and fuses into
+    the producer, removing those passes (convs whose path is missing from the
+    dict fall back to dynamic). STATIC_SCALE_ANY is a timing-only sentinel."""
+    with nn.intercept_methods(_make_interceptor(skip, act_scales)):
         yield
+
+
+def calibrate_act_scales(apply_fn: Callable[[jax.Array], object],
+                         batches,
+                         skip: Callable[[nn.Module], bool] | None = None
+                         ) -> dict[str, jax.Array]:
+    """Measure static per-conv activation scales for `quantized_int8`.
+
+    Runs `apply_fn(batch)` (an UNJITTED wrapper that calls model.apply — the
+    recording interceptor must be live at trace time) for each calibration
+    batch inside ONE jitted recording program (eager op-by-op execution would
+    pay a dispatch/compile round-trip per op on remote backends), recording
+    every quantizable conv's max|input|; returns {module_path: amax/127}
+    keyed exactly as the quantizing interceptor looks them up. Scale choice
+    is plain max-calibration — with per-OUTPUT-CHANNEL weight scales on top,
+    the conv result keeps per-channel resolution; the accuracy delta vs
+    dynamic scales is pinned in tests/test_quant.py and measured on trained
+    checkpoints in BASELINE.md."""
+    rec: dict[str, jax.Array] = {}
+
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        if (context.method_name == '__call__' and not m.is_initializing()
+                and (skip is None or not skip(m)) and _quantizable(m)):
+            x = args[0]
+            key = '/'.join(m.path)
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            rec[key] = jnp.maximum(rec[key], amax) if key in rec else amax
+        return next_fun(*args, **kwargs)
+
+    @jax.jit
+    def record(b):
+        # trace-time: the interceptor fills `rec` with tracers; returning a
+        # dict snapshot turns them into compiled outputs. Repeat calls at the
+        # same shape reuse the compiled program (rec is only mutated during
+        # the one trace, which is exactly when the snapshot is taken).
+        rec.clear()
+        with nn.intercept_methods(interceptor):
+            apply_fn(b)
+        return dict(rec)
+
+    acc: dict[str, jax.Array] = {}
+    for b in batches:
+        for k, v in record(b).items():
+            acc[k] = jnp.maximum(acc[k], v) if k in acc else v
+    return {k: jnp.maximum(jnp.asarray(v), 1e-12) / 127.0
+            for k, v in acc.items()}

@@ -31,8 +31,12 @@ from .utils.logging import setup_logger
 logger = logging.getLogger(__name__)
 
 
-def build_training(cfg, seed: int = 42):
-    """Wire everything; returns a dict of components."""
+def build_training(cfg, seed: int | None = None):
+    """Wire everything; returns a dict of components. seed defaults to
+    cfg.train.seed (42 when unset) — one knob drives loader shuffling, model
+    init, and the per-step fold_in stream."""
+    if seed is None:
+        seed = int(cfg.train.get('seed', 42))
     train_set, train_loader = harness.make_datasets(cfg, train=True, seed=seed)
     test_set, test_loader = harness.make_datasets(cfg, train=False, seed=seed)
     evaluator = harness.get_evaluator(cfg)
@@ -111,7 +115,7 @@ def train(args, cfg, outdir: str, mesh='auto', record_metrics=None):
         return state
 
     from .utils.seeding import seed_all, step_key
-    root_key = seed_all(42)
+    root_key = seed_all(int(cfg.train.get('seed', 42)))
     test_every = cfg.train.get('test_every', 0)
     test_start = cfg.train.get('test_start', 0)
     # test cadence is per-epoch for epoch mode, per-step for step mode
@@ -222,7 +226,7 @@ def main(argv=None):
     setup_logger(outdir)
 
     assert bool(cfg.train.get('num_epochs')) != bool(cfg.train.get('num_steps'))
-    np.random.seed(42)
+    np.random.seed(int(cfg.train.get('seed', 42)))
     train(args, cfg, outdir)
 
 

@@ -57,6 +57,7 @@ class TestQuantileMask:
 
 class TestSolveDense:
     @pytest.mark.parametrize("select", ['quantile', 'mask', 'quantile_in_mask'])
+    @pytest.mark.slow  # ~100s solve-chain compile; run_test path guarded quick by test_integration
     def test_recovers_pose(self, select):
         out, gt, pose = synth_dense_out(noise=0.05)
         states = inference.solve_pnp_dense(
@@ -68,6 +69,7 @@ class TestSolveDense:
             dot = np.abs(np.sum(p[:, :4] * pose[:, :4], axis=-1))
             assert np.all(dot > 0.999), name
 
+    @pytest.mark.slow  # ~100s solve-chain compile; run_test path guarded quick by test_integration
     def test_weighted_filtered(self):
         out, gt, pose = synth_dense_out(noise=0.05)
         states = inference.solve_pnp_dense(
@@ -76,6 +78,7 @@ class TestSolveDense:
         p = np.asarray(states['weighted-filtered'])
         np.testing.assert_allclose(p[:, 4:], pose[:, 4:], atol=3.0)
 
+    @pytest.mark.slow  # ~100s solve-chain compile; run_test path guarded quick by test_integration
     def test_binary_head_path(self):
         """Dense solve through the Gray-code decode path. Object-like geometry:
         a shallow depth field so 7-bit quantization stays ~1 mm (the production
@@ -99,6 +102,7 @@ class TestSolveDense:
 
 
 class TestSolveSparse:
+    @pytest.mark.slow  # ~80s; sparse chain also guarded by test_integration_sparse
     def test_recovers_pose(self):
         rng = np.random.default_rng(3)
         B, S = 2, 16

@@ -32,6 +32,7 @@ def make_cfg(root, **overrides):
 
 
 class TestEndToEnd:
+    @pytest.mark.slow  # 250s; TestEpochModeCLI is the quick-lane end-to-end guard
     def test_train_steps_and_eval(self, syn_root, tmp_path):
         cfg = make_cfg(syn_root)
         from lc_tpu.train import build_training, eval_variables

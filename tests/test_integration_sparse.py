@@ -57,6 +57,7 @@ def make_cfg(root):
     ))
 
 
+@pytest.mark.slow  # 150s full sparse train+eval; sparse decode/solver stay quick-lane
 class TestSparseEndToEnd:
     def test_train_and_eval(self, syn_root):
         cfg = make_cfg(syn_root)

@@ -60,6 +60,7 @@ def make_cfg(root):
     ))
 
 
+@pytest.mark.slow  # 180s full zebra train+eval; zebra fwd/loss/quant stay quick-lane
 class TestZebraEndToEnd:
     def test_train_steps_and_eval(self, syn_root):
         cfg = make_cfg(syn_root)

@@ -8,6 +8,7 @@ def test_eight_devices_available():
     assert jax.device_count() >= 8
 
 
+@pytest.mark.slow  # heavy 8-dev run; sharded_batch/entry_compiles stay quick-lane
 def test_dryrun_multichip_8():
     import sys
     sys.path.insert(0, '/root/repo')
@@ -32,6 +33,7 @@ def _cfg(root, **overrides):
     return cfg
 
 
+@pytest.mark.slow  # heavy 8-dev run; sharded_batch/entry_compiles stay quick-lane
 def test_train_cli_sharded_matches_single_device(syn_root, tmp_path):
     """The PRODUCTION train loop on the 8-device mesh computes the same per-step
     losses as the single-device run (same data stream, same keys; the sharded
@@ -70,6 +72,7 @@ def test_train_cli_sharded_matches_single_device(syn_root, tmp_path):
                                        err_msg=f'step{step} {k}')
 
 
+@pytest.mark.slow  # heavy 8-dev run; sharded_batch/entry_compiles stay quick-lane
 def test_run_test_sharded_matches_single_device(syn_root):
     """Sharded eval (padded batches over the mesh) returns the same per-object
     scores as the single-device pass."""
@@ -97,6 +100,7 @@ def test_run_test_sharded_matches_single_device(syn_root):
             rtol=0.03, atol=1.0)
 
 
+@pytest.mark.slow  # heavy 8-dev run; sharded_batch/entry_compiles stay quick-lane
 def test_run_test_int8_sharded_matches_single_device(syn_root):
     """int8_inference composed with the sharded eval path (harness.py:226 +
     the mesh branch): the quantized convs are a trace-time interception inside

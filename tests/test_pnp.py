@@ -155,6 +155,7 @@ class TestRansac:
         ang = np.degrees(np.arccos(np.clip(cos, -1, 1)))
         assert ang > 10.0, ang   # genuinely the other ambiguity branch
 
+    @pytest.mark.slow  # 46s; test_recovers_pose_with_outliers stays the quick RANSAC guard
     def test_inlier_mask_excludes_outliers(self):
         pose, Ks, pts3d, uv = make_problem(batch=1, n_pts=64, seed=5)
         corrupted = uv.copy()

@@ -205,7 +205,10 @@ def _model_outputs(model, variables, x):
 
 
 class TestModelTolerance:
-    @pytest.mark.parametrize('family', ['cdpn', 'zebra'])
+    @pytest.mark.parametrize('family', [
+        'cdpn',
+        pytest.param('zebra', marks=pytest.mark.slow),  # 60s extra compile
+    ])
     def test_forward_tracks_f32_within_bf16_yardstick(self, family):
         """int8 forward error (vs the f32 forward) must be within a small
         multiple of the bf16 forward's own error — int8 replaces the bf16
@@ -267,6 +270,7 @@ class TestModelTolerance:
 
 
 class TestEndToEndPose:
+    @pytest.mark.slow  # 80s full chain x2; ModelTolerance[cdpn] stays quick-lane
     def test_solver_chain_pose_agreement(self):
         """Full inference chain (CNN -> decode -> select -> RANSAC -> weighted
         LM) with the CNN under int8 must solve to (nearly) the same pose as
@@ -343,3 +347,89 @@ class TestHarnessWiring:
         db = np.asarray(b['xyz_noc'], np.float32)
         assert not np.array_equal(da, db)                # int8 actually on
         assert _rel_rms(da, db) < 0.2
+
+
+class TestStaticScales:
+    """Calibrated static activation scales (quant.calibrate_act_scales +
+    quantized_int8(act_scales=...)): the bandwidth-lean quantization mode —
+    the quantize is elementwise (no per-conv amax reduction barrier), see the
+    module docstring and BASELINE.md's int8 roofline section."""
+
+    def _setup(self, seed=9, batch=1):
+        model = build_model('cdpn_resnet', {'concat': False})
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(0, 1, (batch, 64, 64, 3)).astype(np.float32))
+        variables = _he_reinit(model.init(jax.random.PRNGKey(0), x,
+                                          train=False))
+        return model, variables, x
+
+    def test_single_sample_static_equals_dynamic_bitwise(self):
+        """With batch size 1 and calibration on that exact sample, the static
+        per-tensor scale IS the dynamic per-sample scale, so the two modes
+        must agree bit-for-bit — pins the scale-keying plumbing (a mismatched
+        path lookup silently falls back to dynamic and would still pass a
+        tolerance test, but a wrong-scale lookup would not survive this)."""
+        model, variables, x = self._setup(batch=1)
+        scales = Q.calibrate_act_scales(
+            lambda b: model.apply(variables, b, train=False), [x])
+        assert len(scales) > 30          # every quantizable conv got a scale
+        with Q.quantized_int8():
+            out_dyn = _model_outputs(model, variables, x)
+        with Q.quantized_int8(act_scales=scales):
+            out_st = _model_outputs(model, variables, x)
+        for k in out_dyn:
+            np.testing.assert_array_equal(out_st[k], out_dyn[k])
+
+    def test_static_forward_tracks_f32_within_bf16_yardstick(self):
+        """Static scales calibrated on separate batches: the quantized forward
+        on a NEW batch must stay in the same error decade as bf16 (same
+        yardstick as the dynamic-mode test)."""
+        model, variables, _ = self._setup()
+        rng = np.random.default_rng(10)
+        calib = [jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)), jnp.float32)
+                 for _ in range(2)]
+        x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)), jnp.float32)
+        scales = Q.calibrate_act_scales(
+            lambda b: model.apply(variables, b, train=False), calib)
+        L.set_compute_dtype(jnp.float32)
+        try:
+            out_f32 = _model_outputs(model, variables, x)
+        finally:
+            L.set_compute_dtype(jnp.bfloat16)
+        out_bf16 = _model_outputs(model, variables, x)
+        with Q.quantized_int8(act_scales=scales):
+            out_st = _model_outputs(model, variables, x)
+        for k in out_f32:
+            if k == 'xyz_weights_scale':
+                assert np.all(np.isfinite(out_st[k])) and np.all(out_st[k] > 0)
+                continue
+            e_bf16 = _rel_rms(out_f32[k], out_bf16[k])
+            e_st = _rel_rms(out_f32[k], out_st[k])
+            assert np.all(np.isfinite(out_st[k])), k
+            # static per-tensor scales give up per-sample range adaptation;
+            # allow a wider (but same-decade) band than dynamic mode
+            assert e_st < 12 * e_bf16 + 1e-2, (k, e_st, e_bf16)
+
+    def test_empty_dict_falls_back_to_dynamic(self):
+        """Paths missing from act_scales quantize dynamically — {} must
+        reproduce the dynamic mode exactly."""
+        model, variables, x = self._setup(batch=2)
+        with Q.quantized_int8():
+            out_dyn = _model_outputs(model, variables, x)
+        with Q.quantized_int8(act_scales={}):
+            out_fb = _model_outputs(model, variables, x)
+        for k in out_dyn:
+            np.testing.assert_array_equal(out_fb[k], out_dyn[k])
+
+    def test_calibration_keys_match_interceptor_lookup(self):
+        """Every calibrated path must be consumed by the quantizing
+        interceptor: quantize with a scales dict where each value is poisoned
+        to NaN — if lookups hit, outputs go NaN; a silent key mismatch would
+        keep them finite."""
+        model, variables, x = self._setup(batch=1)
+        scales = Q.calibrate_act_scales(
+            lambda b: model.apply(variables, b, train=False), [x])
+        poisoned = {k: jnp.float32(np.nan) for k in scales}
+        with Q.quantized_int8(act_scales=poisoned):
+            out = model.apply(variables, x, train=False)
+        assert not np.all(np.isfinite(np.asarray(out['xyz_noc'], np.float32)))

@@ -85,7 +85,8 @@ def check_family(name, net_name, net_config, total_bits=0):
 
 def main():
     platform = jax.devices()[0].platform
-    out = {'backend': platform, 'device': jax.devices()[0].device_kind}
+    device_kind = jax.devices()[0].device_kind
+    out = {'backend': platform, 'device': device_kind}
     fams = []
     fams.append(check_family('cdpn', 'cdpn_resnet', {'concat': False}))
     fams.append(check_family('zebra', 'zebra_DeepLabV3',
@@ -93,13 +94,30 @@ def main():
                               'concat': True}, total_bits=21))
     out['families'] = fams
     # Pass criterion: every family's real-conv stack is all-int8 except the
-    # bf16 S2D stem (1 conv), and at least one int8 conv carries lhs_dilation
-    # (the Deconv2x transposed-conv path, the op most at risk of fallback).
-    ok = all(f['int8_convs'] >= 10 and f['non_int8_convs'] <= 1 for f in fams)
+    # bf16 S2D stem (1 conv), at least one int8 conv carries lhs_dilation
+    # (the Deconv2x transposed-conv path, the op most at risk of fallback),
+    # and no wide convolution escaped classification: a conv whose op_name
+    # metadata was rewritten/stripped by XLA shows up as 'other-><wide>' and
+    # must count against the gate, not slip past it (a metadata-stripped
+    # fallen-back conv would otherwise be invisible).
+    for f in fams:
+        f['unclassified_wide_convs'] = sum(
+            v for k, v in f['conv_dtypes'].items()
+            if k.startswith('other->') and not k.endswith('->s32'))
+    ok = all(f['int8_convs'] >= 10 and f['non_int8_convs'] <= 1
+             and f['unclassified_wide_convs'] == 0 for f in fams)
     any_dilated_s8 = any(k == 'conv->s32' for f in fams
                          for k in f['dilated_conv_dtypes'])
     out['dilated_deconv_is_int8'] = any_dilated_s8
-    out['ok'] = bool(ok and any_dilated_s8)
+    # The docstring's claim (optimized HLO == what the chip executes) only
+    # holds when the HLO was compiled FOR a TPU; a CPU-compiled run proves
+    # nothing about the MXU path and must not print ok=true.
+    is_tpu = 'tpu' in f'{platform} {device_kind}'.lower()
+    if not is_tpu:
+        out['warning'] = (f'compiled for backend={platform!r} '
+                          f'({device_kind!r}), not a TPU — the s8 lowering '
+                          'claim is only evidence on TPU-compiled HLO')
+    out['ok'] = bool(ok and any_dilated_s8 and is_tpu)
     print(json.dumps(out))
     return 0 if out['ok'] else 1
 
