@@ -232,11 +232,19 @@ def calibrate_act_scales(apply_fn: Callable[[jax.Array], object],
     batch inside ONE jitted recording program (eager op-by-op execution would
     pay a dispatch/compile round-trip per op on remote backends), recording
     every quantizable conv's max|input|; returns {module_path: amax/127}
-    keyed exactly as the quantizing interceptor looks them up. Scale choice
-    is plain max-calibration — with per-OUTPUT-CHANNEL weight scales on top,
-    the conv result keeps per-channel resolution; the accuracy delta vs
-    dynamic scales is pinned in tests/test_quant.py and measured on trained
-    checkpoints in BASELINE.md."""
+    keyed exactly as the quantizing interceptor looks them up.
+
+    Calibration runs WITH dynamic int8 quantization in the loop: each conv
+    records its input's amax and then executes quantized, so deeper convs see
+    the activation distribution the quantized network actually produces at
+    serving time (a plain-f32 calibration pass systematically mis-scales deep
+    layers, whose inputs shift once their predecessors quantize). This also
+    makes the mode exactly reproducible: at batch 1, static scales calibrated
+    on a sample make the static forward BIT-EQUAL to the dynamic forward on
+    that sample (pinned in tests/test_quant.py). Scale choice is plain
+    max-calibration — with per-OUTPUT-CHANNEL weight scales on top, the conv
+    result keeps per-channel resolution; the accuracy delta vs dynamic scales
+    is measured on trained checkpoints in BASELINE.md."""
     rec: dict[str, jax.Array] = {}
 
     def interceptor(next_fun, args, kwargs, context):
@@ -247,6 +255,9 @@ def calibrate_act_scales(apply_fn: Callable[[jax.Array], object],
             key = '/'.join(m.path)
             amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
             rec[key] = jnp.maximum(rec[key], amax) if key in rec else amax
+            if type(m) is nn.Conv:
+                return _int8_conv(m, *args, **kwargs)
+            return _int8_deconv(m, *args, **kwargs)
         return next_fun(*args, **kwargs)
 
     @jax.jit

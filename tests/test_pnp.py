@@ -180,6 +180,7 @@ class TestCovariance:
         return (jnp.asarray(pose), jnp.asarray(Ks), jnp.asarray(pts3d),
                 jnp.asarray(uv), jnp.asarray(w))
 
+    @pytest.mark.slow  # 29s FD study; test_differentiable_wrt_weights is the quick covariance guard
     def test_jacobian_vs_lm_resolve_fd(self):
         """∂update/∂pts2d from the closed form must match finite differences of the
         actual weighted LM solution. Runs in f64: in f32 the LM's convergence
@@ -313,6 +314,7 @@ class TestFastMinimal:
               + rng.normal(0, noise, uvw[..., :2].shape)).astype(np.float32)
         return Kc, P3, uv, ts
 
+    @pytest.mark.slow  # 26s; test_tpu_dispatch_branch is the quick fast_minimal guard
     def test_matches_generic_cheap_mode(self):
         from lc_tpu.pnp.epnp import epnp
         from lc_tpu.pnp.fast_minimal import epnp6_fast
@@ -432,6 +434,7 @@ class TestSmallEigh:
     jnp.linalg.eigh inside EPnP (its loop-based TPU kernel dominated the whole
     solve and its remote compile took minutes)."""
 
+    @pytest.mark.slow  # 21s; test_small_gap is the quick small-eigh guard
     def test_jacobi_matches_numpy(self):
         from lc_tpu.ops.smallmat import jacobi_eigh_small
         rng = np.random.default_rng(3)
@@ -445,6 +448,7 @@ class TestSmallEigh:
             dots = np.abs(np.einsum('bij,bij->bj', np.asarray(V_j), V_np))
             assert dots.min() > 1 - 1e-5
 
+    @pytest.mark.slow  # 24s; test_small_gap is the quick small-eigh guard
     def test_smallest_eigvecs_subspace(self):
         from lc_tpu.ops.smallmat import smallest_eigvecs
         rng = np.random.default_rng(4)

@@ -363,22 +363,37 @@ class TestStaticScales:
                                           train=False))
         return model, variables, x
 
-    def test_single_sample_static_equals_dynamic_bitwise(self):
-        """With batch size 1 and calibration on that exact sample, the static
-        per-tensor scale IS the dynamic per-sample scale, so the two modes
-        must agree bit-for-bit — pins the scale-keying plumbing (a mismatched
-        path lookup silently falls back to dynamic and would still pass a
-        tolerance test, but a wrong-scale lookup would not survive this)."""
-        model, variables, x = self._setup(batch=1)
-        scales = Q.calibrate_act_scales(
-            lambda b: model.apply(variables, b, train=False), [x])
-        assert len(scales) > 30          # every quantizable conv got a scale
+    def test_single_conv_static_equals_dynamic_bitwise(self):
+        """At batch 1 with calibration on the exact sample, the static scale
+        IS the dynamic per-sample scale, and a lone conv's quantized path is
+        exact arithmetic end to end (f32 max is order-independent, round/clip
+        exact, s8xs8->s32 integer, dequant f32 multiply deterministic) — so
+        static and dynamic must agree bit-for-bit. Pins the scale-keying
+        plumbing: a wrong-scale lookup cannot survive this. (A full-MODEL
+        bitwise check does not hold: the unquantized bf16 stem compiles into
+        different XLA programs for the two modes, and bf16 conv rounding is
+        program-dependent — model-level agreement is pinned by the tolerance
+        and NaN-poisoning tests instead.)"""
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(0, 2, (1, 16, 16, 8)), jnp.float32)
+
+        class OneConv(nn.Module):
+            @nn.compact
+            def __call__(self, z):
+                z = nn.Conv(16, (3, 3), padding=1, name='c')(z)
+                return L.Deconv2x(8, name='d')(z.astype(jnp.float32))
+
+        m = OneConv()
+        v = m.init(jax.random.PRNGKey(2), x)
+        v = _he_reinit(v, seed=12)
+        scales = Q.calibrate_act_scales(lambda b: m.apply(v, b), [x])
+        assert len(scales) == 2          # the conv and the deconv
         with Q.quantized_int8():
-            out_dyn = _model_outputs(model, variables, x)
+            out_dyn = np.asarray(m.apply(v, x), np.float32)
         with Q.quantized_int8(act_scales=scales):
-            out_st = _model_outputs(model, variables, x)
-        for k in out_dyn:
-            np.testing.assert_array_equal(out_st[k], out_dyn[k])
+            out_st = np.asarray(m.apply(v, x), np.float32)
+        assert out_dyn.std() > 0         # non-degenerate
+        np.testing.assert_array_equal(out_st, out_dyn)
 
     def test_static_forward_tracks_f32_within_bf16_yardstick(self):
         """Static scales calibrated on separate batches: the quantized forward
