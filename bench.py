@@ -458,7 +458,17 @@ def _time_stage(apply_fn, x_in, int8: bool, act_scales=None):
     cost = step.lower(jnp.float32(0)).compile().cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     gf = float(cost.get('flops', 0.0)) / 1e9 if cost else 0.0
-    dt = _chained_rate(step, lambda c: np.asarray(c), jnp.float32(0))
+    fetch = lambda c: np.asarray(c)  # noqa: E731
+    # Sub-ms stages need far more chained iterations than the full-pipeline
+    # default: with ~20 iters the relay's run-to-run jitter (±ms across the
+    # two differential runs) swamps a 0.3 ms stage and can print MFU > 1.
+    # Estimate first, then re-measure with enough iterations for >=200 ms of
+    # differential device work per run.
+    dt = _chained_rate(step, fetch, jnp.float32(0))
+    iters = int(min(4000, max(ITERS, 0.2 / max(dt, 1e-5))))
+    if iters > ITERS:
+        dt = _chained_rate(step, fetch, jnp.float32(0), iters=iters,
+                           trials=max(TRIALS, 5))
     return dt * 1e3, gf
 
 
